@@ -1,0 +1,64 @@
+import collections
+
+import numpy as np
+import pytest
+
+from mindthegap_tpu.io.bank import Bank
+from mindthegap_tpu.ops import counting
+from mindthegap_tpu.graph import dbg
+from mindthegap_tpu.utils import dna
+
+
+def brute_counts(seqs, k):
+    comp = str.maketrans("ACGT", "TGCA")
+    cnt = collections.Counter()
+    order = {"A": 0, "C": 1, "T": 2, "G": 3}
+
+    def key(s):
+        return tuple(order[c] for c in s)
+
+    for seq in seqs:
+        seq = seq.upper()
+        for i in range(len(seq) - k + 1):
+            km = seq[i : i + k]
+            if any(c not in "ACGT" for c in km):
+                continue
+            rc = km.translate(comp)[::-1]
+            canon = km if key(km) <= key(rc) else rc
+            cnt[canon] += 1
+    return cnt
+
+
+def test_counter_matches_bruteforce():
+    rng = np.random.default_rng(42)
+    seqs = ["".join(rng.choice(list("ACGTN"), p=[0.24, 0.24, 0.24, 0.24, 0.04], size=200)) for _ in range(30)]
+    k = 11
+    c = counting.StreamingCounter(k, batch_kmers=500)
+    for s in seqs:
+        c.add_codes(dna.seq_to_codes(s))
+    res = c.result()
+    ref = brute_counts(seqs, k)
+    from mindthegap_tpu.ops import kmers as K
+
+    got = {K.kmer_to_str(int(km), k): int(ct) for km, ct in zip(res.kmers, res.counts)}
+    assert got == dict(ref)
+
+
+@pytest.mark.slow
+def test_full_test_reads_solidity(refdir):
+    """Gold calibration: auto cutoff 7, 7419 solid kmers
+    (reference test/full_test/gold_find.output)."""
+    uri = f"{refdir}/data/reads_r1.fastq,{refdir}/data/reads_r2.fastq"
+    g = dbg.build_graph(uri, 31, "auto")
+    assert g.info["thresholds"] == 7
+    assert g.info["kmers_nb_solid"] == 7419
+    assert g.info["nb_branching"] == 36
+
+
+@pytest.mark.slow
+def test_contig_reads_solidity(refdir):
+    """Gold calibration: abundance-min 3 -> 10194 solid kmers, 46 branching
+    (reference test/contig_test/gold.log)."""
+    g = dbg.build_graph(f"{refdir}/data/contig-reads.fasta.gz", 31, 3)
+    assert g.info["kmers_nb_solid"] == 10194
+    assert g.info["nb_branching"] == 46
