@@ -1,0 +1,256 @@
+"""`find` module orchestration (the reference Finder tool, src/Finder.cpp).
+
+Builds or loads the de Bruijn graph, builds the reference-repeat set,
+registers the observer cascade according to the mode flags
+(src/Finder.cpp:320-398, 543-586), scans every reference sequence and
+writes `<out>.breakpoints` + `<out>.othervariants.vcf`.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from .. import MTG_COMPAT_VERSION, KSIZE_STRING
+from ..graph import dbg
+from ..io.bank import Bank
+from ..utils import dna
+from ..utils.properties import Properties
+from . import scan
+from .automaton import ScanContext
+from . import observers as O
+
+
+class FinderError(Exception):
+    pass
+
+
+def default_output_prefix() -> str:
+    return "MindTheGap_Expe-" + time.strftime("%Y-%m-%d.%I:%M")
+
+
+def _stoi(s: str) -> int:
+    """std::stoi semantics: parse the leading integer, ignore the rest."""
+    s = s.lstrip()
+    i = 0
+    if i < len(s) and s[i] in "+-":
+        i += 1
+    j = i
+    while j < len(s) and s[j].isdigit():
+        j += 1
+    if j == i:
+        raise ValueError(f"stoi: no conversion: {s!r}")
+    return int(s[:j])
+
+
+def parse_bed_for_chrom(bed_path: str, chrom_name: str, k: int):
+    """Collect this chromosome's intervals, in file order, keeping those
+    longer than k (src/FindBreakpoints.hpp:461-490)."""
+    intervals = []
+    with open(bed_path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if len(line) == 0 or line[0] in "#@":
+                continue
+            v = line.split("\t")
+            if v[0] == chrom_name:
+                bed_begin, bed_end = _stoi(v[1]), _stoi(v[2])
+                if bed_end - bed_begin > k:
+                    intervals.append((bed_begin, bed_end))
+    return intervals
+
+
+def run_find(opts: dict, out=None) -> Properties:
+    """Execute the find module. opts uses the reference option names
+    (without leading dash)."""
+    import sys
+
+    out = out or sys.stdout
+
+    has_graph = bool(opts.get("graph"))
+    has_in = bool(opts.get("in"))
+    if has_graph == has_in:
+        raise FinderError(
+            "ERROR: options -graph and -in are incompatible, but at least one of these is mandatory"
+        )
+    if not opts.get("ref"):
+        raise FinderError("ERROR: option -ref is mandatory")
+
+    if not opts.get("out"):
+        opts["out"] = default_output_prefix()
+    prefix = opts["out"]
+
+    t0 = time.time()
+    if has_in:
+        graph = dbg.build_graph(
+            opts["in"],
+            int(opts.get("kmer-size", 31)),
+            opts.get("abundance-min", "auto"),
+            int(opts.get("abundance-max", 2147483647)),
+        )
+        k = int(opts.get("kmer-size", 31))
+        graph.save(prefix + ".h5")
+    else:
+        graph = dbg.Graph.load(opts["graph"])
+        k = graph.k
+
+    bed_file = opts.get("bed", "")
+
+    # mode flags (src/Finder.cpp:320-398)
+    homo_only = False
+    homo_insert = True
+    hete_insert = True
+    snp = True
+    backup = False
+    deletion = True
+    small_homo = True
+
+    if opts.get("homo-only"):
+        homo_only, homo_insert, hete_insert, snp, backup, deletion = True, True, False, True, False, True
+    if opts.get("insert-only"):
+        homo_only, homo_insert, hete_insert, snp, backup, deletion = False, True, True, False, False, False
+    if opts.get("snp-only"):
+        homo_only, homo_insert, hete_insert, snp, backup, deletion = True, False, False, True, False, False
+    if opts.get("deletion-only"):
+        homo_only, homo_insert, hete_insert, snp, backup, deletion = True, False, False, False, False, True
+    if opts.get("hete-only"):
+        homo_only, homo_insert, hete_insert, snp, backup, deletion = False, False, True, False, False, False
+    if opts.get("backup"):
+        backup = True
+    if opts.get("no-snp"):
+        snp = False
+    if opts.get("no-insert"):
+        homo_insert = False
+    if opts.get("no-deletion"):
+        deletion = False
+    if opts.get("no-hetero"):
+        hete_insert = False
+
+    max_repeat = int(opts.get("max-rep", 5))
+    het_max_occ = max(1, int(opts.get("het-max-occ", 1)))
+    snp_min_val = int(opts.get("snp-min-val", 5))
+    branching_threshold = int(opts.get("branching-filter", 15))
+
+    breakpoint_name = prefix + ".breakpoints"
+    vcf_name = prefix + ".othervariants.vcf"
+
+    ref_uri = opts["ref"]
+    repeat_set = dbg.build_repeat_set(ref_uri, k - 1, het_max_occ + 1)
+
+    with open(breakpoint_name, "w") as bkpt_f, open(vcf_name, "w") as vcf_f:
+        _write_vcf_header(vcf_f, opts)
+
+        ctx = ScanContext(
+            graph, repeat_set, k, bkpt_f, vcf_f,
+            max_repeat=max_repeat,
+            snp_min_val=snp_min_val,
+            branching_threshold=branching_threshold,
+            homo_only=homo_only,
+        )
+        # registration order = priority (src/Finder.cpp:548-582)
+        if snp:
+            ctx.add_gap_observer(O.FindSoloSNP(ctx))
+            ctx.add_gap_observer(O.FindMultiSNP(ctx))
+            ctx.add_gap_observer(O.FindMultiSNPrev(ctx))
+        if deletion:
+            ctx.add_gap_observer(O.FindDeletion(ctx))
+        if small_homo:
+            ctx.add_gap_observer(O.FindSmallCleanInsertion(ctx))
+            ctx.add_gap_observer(O.FindSmallFuzzyInsertion(ctx))
+        if homo_insert:
+            ctx.add_gap_observer(O.FindCleanInsertion(ctx))
+            ctx.add_gap_observer(O.FindFuzzyInsertion(ctx))
+        if backup:
+            ctx.add_gap_observer(O.FindBackup(ctx))
+        if hete_insert:
+            ctx.add_kmer_observer(O.FindHeteroInsertion(ctx))
+
+        for rec in Bank.open(ref_uri):
+            codes = dna.seq_to_codes(rec.seq)
+            planes = scan.compute_planes(codes, k, graph.solid.kmers, repeat_set.kmers)
+            bed_intervals = None
+            if bed_file:
+                bed_intervals = parse_bed_for_chrom(bed_file, rec.comment_short, k)
+            ctx.scan_sequence(rec.comment_short, rec.seq, planes, bed_intervals)
+
+    seconds = time.time() - t0
+    info = _resume(opts, graph, ctx, k, seconds, breakpoint_name, vcf_name,
+                   max_repeat, het_max_occ, branching_threshold,
+                   homo_insert, hete_insert, snp, deletion, bed_file)
+    out.write(info.dump())
+    return info
+
+
+def _write_vcf_header(vcf_f, opts):
+    sample = opts.get("in") or opts.get("graph") or ""
+    vcf_f.write(
+        "##fileformat=VCFv4.1\n"
+        "##filedate=%s"
+        "##source=MindTheGap find version %s\n"
+        "##SAMPLE=file:%s\n"
+        "##REF=file:%s\n"
+        '##INFO=<ID=TYPE,Number=1,Type=String,Description="SNP, INS, DEL or .">\n'
+        '##INFO=<ID=LEN,Number=1,Type=Integer,Description="variant size">\n'
+        '##INFO=<ID=FUZZY,Number=1,Type=Integer,Description="repeat size at the breakpoint, only for INS and DEL">\n'
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tG1\n"
+        % (time.ctime() + "\n", MTG_COMPAT_VERSION, sample, opts["ref"])
+    )
+
+
+def _resume(opts, graph, ctx, k, seconds, bkpt_name, vcf_name,
+            max_repeat, het_max_occ, branching_threshold,
+            homo_insert, hete_insert, snp, deletion, bed_file) -> Properties:
+    s = ctx.stats
+    info = Properties()
+    info.add(0, "MindTheGap find")
+    info.add(1, "version", MTG_COMPAT_VERSION)
+    info.add(1, "gatb-core-library", "mindthegap_tpu (tpu-native)")
+    info.add(1, "supported_kmer_sizes", KSIZE_STRING)
+    info.add(0, "Parameters")
+    info.add(1, "Input data")
+    if opts.get("in"):
+        info.add(2, "Reads", opts["in"])
+    if opts.get("graph"):
+        info.add(2, "Graph", opts["graph"])
+    info.add(2, "Reference", opts["ref"])
+    if bed_file:
+        info.add(2, "Bed file", bed_file)
+    info.add(1, "Graph")
+    info.add(2, "kmer-size", "%i", k)
+    gi = graph.info
+    if gi.get("cutoffs_auto.values"):
+        info.add(2, "abundance_min (auto inferred)", gi["cutoffs_auto.values"])
+    info.add(2, "abundance_min (used)", str(gi.get("thresholds", "")))
+    if "abundance_max" in gi:
+        info.add(2, "abundance_max", str(gi["abundance_max"]))
+    info.add(2, "nb_solid_kmers", str(gi.get("kmers_nb_solid", "")))
+    info.add(2, "nb_branching_nodes", str(gi.get("nb_branching", "")))
+    info.add(1, "Breakpoint detection options")
+    info.add(2, "max_repeat", "%i", max_repeat)
+    info.add(2, "hetero_max_occ", "%i", het_max_occ)
+    info.add(2, "branching filter value", "%i", branching_threshold)
+    info.add(2, "homo_insertions", "yes" if homo_insert else "no")
+    info.add(2, "hete_insertions", "yes" if hete_insert else "no")
+    info.add(2, "snp", "yes" if snp else "no")
+    info.add(2, "deletion", "yes" if deletion else "no")
+    info.add(0, "Results")
+    info.add(1, "Insertion breakpoints")
+    info.add(2, "homozygous", "%i", s.homo_clean + s.homo_fuzzy)
+    info.add(3, "clean", "%i", s.homo_clean)
+    info.add(3, "fuzzy", "%i", s.homo_fuzzy)
+    info.add(2, "heterozygous", "%i", s.hetero_clean + s.hetero_fuzzy)
+    info.add(3, "clean", "%i", s.hetero_clean)
+    info.add(3, "fuzzy", "%i", s.hetero_fuzzy)
+    info.add(1, "Other variants")
+    info.add(2, "deletions", "%i", s.clean_deletion + s.fuzzy_deletion)
+    info.add(2, "Homozygous insertions 1-2 bp size", "%i", s.homo_clean_indel + s.homo_fuzzy_indel)
+    info.add(2, "Heterozygous insertions 1-2 bp size", "%i", s.hetero_indel)
+    info.add(2, "SNPs", "%i", s.solo_snp + s.multi_snp)
+    info.add(1, "Time", "%.1f s", seconds)
+    info.add(1, "Output files")
+    if opts.get("in"):
+        info.add(2, "graph_file", "%s.h5", opts["out"])
+    info.add(2, "breakpoint_file", bkpt_name)
+    info.add(2, "othervariants_file", vcf_name)
+    return info

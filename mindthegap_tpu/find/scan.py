@@ -1,0 +1,95 @@
+"""Per-position "plane" computation for the reference scan.
+
+This is the hot loop of `find` (reference src/FindBreakpoints.hpp:560-622:
+|ref| iterations x ~11 membership probes). Instead of probing one k-mer at a
+time, we compute, for an entire chromosome (or window) at once:
+
+    valid[i]      k-mer validity (no N)
+    fwd[i]        forward-strand packed k-mer
+    contains[i]   solid-set membership of the canonical k-mer
+    nb_in[i]      in-degree of the forward-oriented node (0 if !contains)
+    nb_out[i]     out-degree (0 if !contains)
+    suffix_rep[i] canonical (k-1)-suffix present in the reference-repeat set
+    prefix_rep[i] canonical (k-1)-prefix present in the reference-repeat set
+
+The exact host automaton (automaton.py) then replays the reference state
+machine over these planes, touching the graph only for sparse observer
+queries. The same function runs under numpy (host oracle) or jax.numpy
+(device pass, jit + sharded over windows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops import kmers as K
+
+
+@dataclass
+class Planes:
+    valid: np.ndarray
+    fwd: np.ndarray
+    contains: np.ndarray
+    nb_in: np.ndarray
+    nb_out: np.ndarray
+    suffix_rep: np.ndarray
+    prefix_rep: np.ndarray
+
+    def __len__(self):
+        return int(self.valid.shape[0])
+
+
+def _member_sorted(sorted_arr, keys, xp):
+    """Vectorized membership of keys in a sorted uint64 array."""
+    if sorted_arr.shape[0] == 0:
+        return xp.zeros(keys.shape, dtype=bool)
+    idx = xp.searchsorted(sorted_arr, keys)
+    idx = xp.minimum(idx, sorted_arr.shape[0] - 1)
+    return sorted_arr[idx] == keys
+
+
+def compute_planes(codes: np.ndarray, k: int, solid_kmers, repeat_kmers, xp=np) -> Planes:
+    """Compute scan planes for one chromosome.
+
+    solid_kmers / repeat_kmers: sorted uint64 arrays (k and k-1 sized
+    canonical sets). With xp=jnp and device-resident arrays this is the
+    device pass; with numpy it is the exact host oracle.
+    """
+    fwd, valid = K.kmers_from_codes(codes, k)
+    if fwd.size == 0:
+        z = np.zeros(0)
+        return Planes(*(z.astype(t) for t in (bool, np.uint64, bool, np.int32, np.int32, bool, bool)))
+    fwd = xp.asarray(fwd)
+    canon = K.canonical_u64(fwd, k, xp)
+    contains = _member_sorted(solid_kmers, canon, xp)
+
+    mask = K.kmer_mask(k)
+    shift_hi = np.uint64(2 * (k - 1))
+    nb_out = xp.zeros(fwd.shape, np.int32)
+    nb_in = xp.zeros(fwd.shape, np.int32)
+    for x in range(4):
+        out_n = ((fwd << np.uint64(2)) | np.uint64(x)) & mask
+        nb_out = nb_out + _member_sorted(solid_kmers, K.canonical_u64(out_n, k, xp), xp)
+        in_n = (fwd >> np.uint64(2)) | (np.uint64(x) << shift_hi)
+        nb_in = nb_in + _member_sorted(solid_kmers, K.canonical_u64(in_n, k, xp), xp)
+    nb_out = xp.where(contains, nb_out, 0)
+    nb_in = xp.where(contains, nb_in, 0)
+
+    # (k-1)-mer repeat bits (store_kmer_info, src/FindBreakpoints.hpp:1029-1045)
+    km1_mask = K.kmer_mask(k - 1)
+    suffix = fwd & km1_mask
+    prefix = (fwd >> np.uint64(2)) & km1_mask
+    suffix_rep = _member_sorted(repeat_kmers, K.canonical_u64(suffix, k - 1, xp), xp)
+    prefix_rep = _member_sorted(repeat_kmers, K.canonical_u64(prefix, k - 1, xp), xp)
+
+    return Planes(
+        valid=np.asarray(valid),
+        fwd=np.asarray(fwd),
+        contains=np.asarray(contains),
+        nb_in=np.asarray(nb_in, dtype=np.int32),
+        nb_out=np.asarray(nb_out, dtype=np.int32),
+        suffix_rep=np.asarray(suffix_rep),
+        prefix_rep=np.asarray(prefix_rep),
+    )
