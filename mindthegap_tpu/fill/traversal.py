@@ -1,0 +1,283 @@
+"""Local assembly: bounded breadth-first contig construction in the DBG.
+
+Re-creates the behavior of GATB-core's BranchingTerminator +
+IterativeExtensions<span>(..., TRAVERSAL_CONTIG, until_max_depth, Breadth,
+false, max_depth, max_nodes).construct_linear_seqs(L, R, file, swf) as used
+by the reference (src/Filler.cpp:866-884). The GATB submodule is absent
+upstream, so the exact semantics were reconstructed and *calibrated* against
+the committed per-job oracles (nb-nodes / total-nt / nb-target-nodes rows in
+test/full_test/gold_bed.info.txt and test/contig_test/gold.info.txt).
+
+Shape of the algorithm:
+- a queue of (kmer, depth) seeds, starting at the last k-mer of L;
+- each seed is extended to the right into a contig: follow simple paths,
+  crossing error tips / clean bubbles Monument-style (frontline BFS with an
+  external-in-branching check, depth/breadth caps, near-identical consensus
+  validation), stopping at real divergences;
+- a terminator marks branching nodes already consumed so parallel arms do
+  not re-traverse shared sequence;
+- each contig is emitted as a node; the graph successors of its end k-mer
+  are queued with accumulated depth;
+- stop conditions: max_nodes contigs and max_depth accumulated length.
+
+TraversalPolicy collects every micro-decision that is only observable
+through the oracles; defaults are the calibrated values.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops import kmers as K
+from ..ops.nw import nw_identity
+
+
+@dataclass
+class TraversalPolicy:
+    in_branch_stop: bool = True        # stop when the unique successor has in-degree > 1
+    explore_branching: bool = True     # Monument-style bubble/tip crossing
+    bubble_max_depth: int = 500
+    bubble_max_breadth: int = 20
+    consensus_identity: int = 90       # pairwise NW identity (percent) for bubble validation
+    start_mark: bool = True            # mark a branching start node when traversed
+    passed_branch_mark: bool = True    # mark branching nodes stepped onto mid-path
+    branch_stop_mark: bool = False     # mark the branching node an extension stopped at
+    skip_marked_start: str = "no"      # "skip" | "kmer" (emit bare kmer) | "no"
+    stop_at_marked: bool = True        # stop extension when the next node is marked
+    swf_strstr: bool = False           # stop-when-found via substring search of R
+    lifo: bool = False                 # queue discipline (False = FIFO)
+    depth_with_kmer: bool = True       # depth += len(contig) (else len(contig) - k)
+    max_nodes_strict: bool = False     # break when nbNodes >= max_nodes (else >)
+
+
+class GraphView:
+    """Forward-kmer graph interface backed by a plain python set of canonical
+    kmers — the traversal's point queries dwarf numpy call overhead."""
+
+    def __init__(self, graph):
+        self.g = graph
+        self.k = graph.k
+        self.kmer_set = set(graph.solid.kmers.tolist())
+        self._succ: dict[int, tuple] = {}
+        self._pred: dict[int, tuple] = {}
+
+    def contains_fwd(self, fwd: int) -> bool:
+        return min(fwd, int(K.revcomp_u64(np.uint64(fwd), self.k))) in self.kmer_set
+
+    def successors(self, fwd: int):
+        r = self._succ.get(fwd)
+        if r is None:
+            mask = int(K.kmer_mask(self.k))
+            r = tuple(
+                (nt, nxt)
+                for nt in range(4)
+                for nxt in [((fwd << 2) | nt) & mask]
+                if self.contains_fwd(nxt)
+            )
+            self._succ[fwd] = r
+        return r
+
+    def predecessors(self, fwd: int):
+        r = self._pred.get(fwd)
+        if r is None:
+            shift = 2 * (self.k - 1)
+            r = tuple(
+                (nt, prv)
+                for nt in range(4)
+                for prv in [(fwd >> 2) | (nt << shift)]
+                if self.contains_fwd(prv)
+            )
+            self._pred[fwd] = r
+        return r
+
+    def canonical(self, fwd: int) -> int:
+        return min(fwd, int(K.revcomp_u64(np.uint64(fwd), self.k)))
+
+    def is_branching(self, fwd: int) -> bool:
+        return len(self.successors(fwd)) != 1 or len(self.predecessors(fwd)) != 1
+
+
+class Terminator:
+    """BranchingTerminator stand-in: remembers marked (canonical) nodes."""
+
+    def __init__(self, view: GraphView):
+        self.view = view
+        self.marked: set[int] = set()
+
+    def reset(self):
+        self.marked.clear()
+
+    def mark(self, fwd: int):
+        self.marked.add(self.view.canonical(fwd))
+
+    def is_marked(self, fwd: int) -> bool:
+        return self.view.canonical(fwd) in self.marked
+
+
+def _find_end_of_branching(view: GraphView, start: int, policy: TraversalPolicy):
+    """Frontline BFS from a branching node until the frontline collapses to a
+    single node. Fails on external in-branching (a new frontline node with a
+    predecessor that was never frontlined — the GATB FrontlineBranching
+    check), on dead frontlines, and on depth/breadth caps.
+
+    Returns (end_node, depth, involved) or None."""
+    already = {view.canonical(start)}
+    frontline = [nxt for _, nxt in view.successors(start)]
+    for n in frontline:
+        already.add(view.canonical(n))
+    involved = set(frontline)
+    depth = 1
+    while depth < policy.bubble_max_depth:
+        if len(frontline) == 0:
+            return None
+        if len(frontline) == 1:
+            return frontline[0], depth, involved
+        if len(frontline) > policy.bubble_max_breadth:
+            return None
+        new_frontline: list[int] = []
+        seen_new = set()
+        for node in frontline:
+            for _, nxt in view.successors(node):
+                # external in-branching check
+                for _, prd in view.predecessors(nxt):
+                    if view.canonical(prd) not in already:
+                        return None
+                c = view.canonical(nxt)
+                if c in already:
+                    if c in seen_new and nxt not in new_frontline:
+                        pass
+                    continue
+                already.add(c)
+                seen_new.add(c)
+                new_frontline.append(nxt)
+        involved |= set(new_frontline)
+        frontline = new_frontline
+        depth += 1
+    return None
+
+
+def _all_paths_between(view: GraphView, start: int, end: int, max_depth: int, max_breadth: int):
+    """All nt-strings labelling paths start -> end of length <= max_depth."""
+    out: list[str] = []
+    stack = [(start, "")]
+    while stack:
+        node, s = stack.pop()
+        if node == end and s:
+            out.append(s)
+            if len(out) > max_breadth:
+                return None
+            continue
+        if len(s) >= max_depth:
+            continue
+        for nt, nxt in view.successors(node):
+            stack.append((nxt, s + "ACTG"[nt]))
+    return out
+
+
+def _explore_branching(view: GraphView, term: Terminator, node: int, policy: TraversalPolicy):
+    """Monument explore_branching: cross a tip/clean bubble, returning
+    (consensus string, end node), or None."""
+    res = _find_end_of_branching(view, node, policy)
+    if res is None:
+        return None
+    end, depth, involved = res
+    paths = _all_paths_between(view, node, end, depth + 1, policy.bubble_max_breadth)
+    if not paths:
+        return None
+    if len(paths) > 1:
+        for i in range(len(paths)):
+            for j in range(i + 1, len(paths)):
+                if nw_identity(paths[i], paths[j]) * 100 < policy.consensus_identity:
+                    return None
+    consensus = sorted(paths)[0]
+    for n in involved:
+        if view.is_branching(n):
+            term.mark(n)
+    return consensus, end
+
+
+def traverse_right(view: GraphView, term: Terminator, start: int, policy: TraversalPolicy, maxlen: int):
+    """Extend a contig to the right from `start`. Returns (sequence, end_kmer)."""
+    seq = [K.kmer_to_str(start, view.k)]
+    slen = view.k
+    node = start
+    while slen < maxlen:
+        succs = view.successors(node)
+        if len(succs) == 0:
+            break  # dead end
+        if len(succs) > 1 or (
+            policy.in_branch_stop and len(view.predecessors(succs[0][1])) > 1
+        ):
+            crossed = None
+            if policy.explore_branching:
+                crossed = _explore_branching(view, term, node, policy)
+            if crossed is None:
+                if policy.branch_stop_mark and len(succs) > 1:
+                    term.mark(node)
+                break
+            seq.append(crossed[0])
+            slen += len(crossed[0])
+            node = crossed[1]
+            continue
+        nt, nxt = succs[0]
+        if view.is_branching(nxt):
+            if policy.stop_at_marked and term.is_marked(nxt):
+                break
+            if policy.passed_branch_mark:
+                term.mark(nxt)
+        seq.append("ACTG"[nt])
+        slen += 1
+        node = nxt
+    return "".join(seq), node
+
+
+def construct_linear_seqs(
+    graph,
+    L: str,
+    R: str,
+    max_depth: int,
+    max_nodes: int,
+    swf: bool,
+    policy: TraversalPolicy | None = None,
+    view: GraphView | None = None,
+):
+    """The IterativeExtensions::construct_linear_seqs equivalent.
+
+    Returns the ordered list of contig strings (node id = list index)."""
+    policy = policy or TraversalPolicy()
+    view = view or GraphView(graph)
+    term = Terminator(view)
+    k = view.k
+
+    start = K.str_to_kmer(L[len(L) - k :].upper())
+    queue = deque([(start, 0)])
+    contigs: list[str] = []
+
+    while queue:
+        cur, depth = queue.pop() if policy.lifo else queue.popleft()
+        if contigs and term.is_marked(cur):
+            if policy.skip_marked_start == "skip":
+                continue
+            if policy.skip_marked_start == "kmer":
+                contigs.append(K.kmer_to_str(cur, k))
+                continue
+        if policy.start_mark and view.is_branching(cur):
+            term.mark(cur)
+        seq, last = traverse_right(view, term, cur, policy, max_depth)
+        contigs.append(seq)
+        if swf and policy.swf_strstr and R and R in seq:
+            break
+        new_depth = depth + (len(seq) if policy.depth_with_kmer else len(seq) - k)
+        if policy.max_nodes_strict:
+            if len(contigs) >= max_nodes:
+                break
+        elif len(contigs) > max_nodes:
+            break
+        if new_depth > max_depth:
+            continue
+        for _, nxt in view.successors(last):
+            queue.append((nxt, new_depth))
+    return contigs
