@@ -18,7 +18,7 @@ from .. import MTG_COMPAT_VERSION, KSIZE_STRING
 from ..graph import dbg
 from ..io.bank import Bank
 from ..ops import kmers as K
-from ..utils import dna
+from ..utils import dna, stdcompat
 from ..utils.properties import Properties
 from .contig_graph import ContigGraph
 from .traversal import GraphView, TraversalPolicy, construct_linear_seqs
@@ -338,14 +338,19 @@ class Filler:
         if len(terminal_nodes) > 0:
             paths = cgraph.find_all_paths_rev(terminal_nodes)
 
-            # group paths by target
+            # group paths by target, iterating paths in C++ std::set order
+            # (path lexicographic, then target id) and replaying libstdc++
+            # unordered_map iteration order for the groups — the reference's
+            # output order depends on both (src/Filler.cpp:920-936)
             paths_to_compare: dict[str, list] = {}
-            for path, bkpt in paths:
+            for path, bkpt in sorted(paths):
                 key = bkpt[0] + ("_Rc" if bkpt[1] else "")
                 paths_to_compare.setdefault(key, []).append(path)
+            group_keys = list(paths_to_compare.keys())
+            ordered_keys = [group_keys[i] for i in stdcompat.unordered_map_order(group_keys)]
 
             nb_total_filled = 0
-            for key in paths_to_compare:
+            for key in ordered_keys:
                 current_paths = paths_to_compare[key]
                 tmp = cgraph.paths_to_sequences(current_paths, terminal_nodes)
                 nb_filled = len(tmp)
