@@ -1,0 +1,125 @@
+"""Device (XLA) implementation of the find-scan plane pass.
+
+This is the TPU compute path for the `find` hot loop (reference
+src/FindBreakpoints.hpp:560-622: |ref| iterations x ~11 graph probes per
+position). The whole window is processed as one fused jit program:
+
+  codes[W] (uint8)  ->  fwd kmers, validity, canonical membership,
+                        fwd-strand in/out degrees, (k-1) repeat bits
+
+Membership probes are binary searches over the device-resident sorted solid
+set — 11 searchsorted sweeps of W x log2(N), all batched, no host round
+trips. Windows are padded to fixed shapes so each (W, k, N-bucket) signature
+compiles once; the multi-chip path shards the window axis over the mesh
+(mindthegap_tpu/parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import kmers as K
+
+INVALID = 255
+
+
+def rolling_kmers_device(codes, k: int):
+    """Forward kmers + validity for a padded window (jnp, jittable).
+
+    codes: uint8[W] (255 = invalid/padding). Returns (fwd u64[P], valid
+    bool[P]) with P = W - k + 1."""
+    w = codes.shape[0]
+    p = w - k + 1
+    bad = codes == INVALID
+    c = jnp.where(bad, 0, codes).astype(jnp.uint64)
+    fwd = jnp.zeros((p,), jnp.uint64)
+    for j in range(k):  # k is static; unrolled into shifts/ors and fused
+        fwd = (fwd << jnp.uint64(2)) | jax.lax.dynamic_slice(c, (j,), (p,))
+    badc = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(bad.astype(jnp.int32))])
+    valid = (badc[k:] - badc[:-k]) == 0
+    return fwd, valid
+
+
+def _member(sorted_arr, keys):
+    if sorted_arr.shape[0] == 0:
+        return jnp.zeros(keys.shape, bool)
+    idx = jnp.searchsorted(sorted_arr, keys)
+    idx = jnp.minimum(idx, sorted_arr.shape[0] - 1)
+    return sorted_arr[idx] == keys
+
+
+@partial(jax.jit, static_argnames=("k",))
+def scan_planes_device(codes, solid_sorted, repeat_sorted, k: int):
+    """The full plane pass for one (padded) window. Returns a dict of
+    per-position planes, all shape [W-k+1]."""
+    fwd, valid = rolling_kmers_device(codes, k)
+    canon = K.canonical_u64(fwd, k, jnp)
+    contains = _member(solid_sorted, canon)
+
+    mask = K.kmer_mask(k)
+    shift_hi = jnp.uint64(2 * (k - 1))
+    nb_out = jnp.zeros(fwd.shape, jnp.int32)
+    nb_in = jnp.zeros(fwd.shape, jnp.int32)
+    for x in range(4):
+        out_n = ((fwd << jnp.uint64(2)) | jnp.uint64(x)) & mask
+        nb_out = nb_out + _member(solid_sorted, K.canonical_u64(out_n, k, jnp))
+        in_n = (fwd >> jnp.uint64(2)) | (jnp.uint64(x) << shift_hi)
+        nb_in = nb_in + _member(solid_sorted, K.canonical_u64(in_n, k, jnp))
+    nb_out = jnp.where(contains, nb_out, 0)
+    nb_in = jnp.where(contains, nb_in, 0)
+
+    km1_mask = K.kmer_mask(k - 1)
+    suffix = fwd & km1_mask
+    prefix = (fwd >> jnp.uint64(2)) & km1_mask
+    suffix_rep = _member(repeat_sorted, K.canonical_u64(suffix, k - 1, jnp))
+    prefix_rep = _member(repeat_sorted, K.canonical_u64(prefix, k - 1, jnp))
+
+    return {
+        "fwd": fwd,
+        "valid": valid,
+        "contains": contains,
+        "nb_in": nb_in,
+        "nb_out": nb_out,
+        "suffix_rep": suffix_rep,
+        "prefix_rep": prefix_rep,
+    }
+
+
+def compute_planes_device(codes: np.ndarray, k: int, solid_sorted, repeat_sorted, window: int = 1 << 20):
+    """Host wrapper: pads/windows a chromosome, runs the device pass, stitches
+    numpy planes identical to find.scan.compute_planes."""
+    from .scan import Planes
+
+    n = codes.shape[0]
+    if n < k:
+        z = np.zeros(0)
+        return Planes(*(z.astype(t) for t in (bool, np.uint64, bool, np.int32, np.int32, bool, bool)))
+
+    solid_sorted = jnp.asarray(solid_sorted)
+    repeat_sorted = jnp.asarray(repeat_sorted)
+
+    halo = k - 1
+    outs = {key: [] for key in ("fwd", "valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep")}
+    pos = 0
+    npos = n - k + 1
+    while pos < npos:
+        take = min(window - halo, npos - pos)
+        chunk = np.full(window, INVALID, np.uint8)
+        chunk[: take + halo] = codes[pos : pos + take + halo]
+        res = scan_planes_device(jnp.asarray(chunk), solid_sorted, repeat_sorted, k)
+        for key in outs:
+            outs[key].append(np.asarray(res[key])[:take])
+        pos += take
+    return Planes(
+        valid=np.concatenate(outs["valid"]),
+        fwd=np.concatenate(outs["fwd"]),
+        contains=np.concatenate(outs["contains"]),
+        nb_in=np.concatenate(outs["nb_in"]),
+        nb_out=np.concatenate(outs["nb_out"]),
+        suffix_rep=np.concatenate(outs["suffix_rep"]),
+        prefix_rep=np.concatenate(outs["prefix_rep"]),
+    )

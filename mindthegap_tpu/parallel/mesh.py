@@ -1,0 +1,101 @@
+"""Multi-chip scale-out: device mesh, sharded scan, distributed counting.
+
+The reference is single-node shared-memory (GATB Dispatcher thread pool,
+SURVEY.md §2.3); the TPU-native equivalents here are:
+
+- **data-parallel graph build**: read batches sharded over the mesh; each
+  device extracts+sorts canonical k-mers and computes a partial abundance
+  histogram; histograms are psum-reduced for the `auto` cutoff; per-shard
+  sorted runs are gathered and merged (bitwise-or all-reduce when the
+  membership structure is a Bloom bitset);
+- **window-sharded find scan** (our sequence-parallel axis): the reference
+  windows, with k-1 halos, are laid out on a 1-D mesh; the solid/repeat sets
+  are replicated; each device runs the plane pass on its windows;
+- **job-sharded fill**: gap-fill jobs round-robin over hosts, merged in
+  input order (deterministic — strictly better than the reference's
+  nondeterministic thread interleave).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..find.scan_device import scan_planes_device, rolling_kmers_device
+from ..ops import kmers as K
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def sharded_scan(mesh: Mesh, windows: np.ndarray, solid_sorted, repeat_sorted, k: int):
+    """Run the find-scan plane pass over [n_windows, W] windows sharded on
+    the mesh; windows must carry their k-1 halo already. Returns stacked
+    planes on host."""
+    axis = mesh.axis_names[0]
+    win_sharding = NamedSharding(mesh, P(axis, None))
+    rep_sharding = NamedSharding(mesh, P())
+
+    windows_d = jax.device_put(jnp.asarray(windows), win_sharding)
+    solid_d = jax.device_put(jnp.asarray(solid_sorted), rep_sharding)
+    repeat_d = jax.device_put(jnp.asarray(repeat_sorted), rep_sharding)
+
+    @jax.jit
+    def run(w, s, r):
+        return jax.vmap(lambda row: scan_planes_device(row, s, r, k))(w)
+
+    return jax.tree.map(np.asarray, run(windows_d, solid_d, repeat_d))
+
+
+def distributed_count_step(mesh: Mesh, read_codes: np.ndarray, k: int, histo_max: int = 10000):
+    """One data-parallel counting step: reads sharded over the mesh, each
+    shard extracts canonical k-mers, sorts them locally, and computes an
+    abundance histogram; histograms are psum-reduced across the mesh (the
+    collective that feeds the `auto` cutoff). Returns (sorted per-shard kmer
+    runs [D, L], global histogram)."""
+    axis = mesh.axis_names[0]
+
+    def shard_fn(codes):  # codes: [rows_per_shard, read_len]
+        def row_kmers(row):
+            fwd, valid = rolling_kmers_device(row, k)
+            canon = K.canonical_u64(fwd, k, jnp)
+            # invalid positions -> sentinel max so they sort to the end
+            return jnp.where(valid, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+
+        canon = jax.vmap(row_kmers)(codes).reshape(-1)
+        canon = jnp.sort(canon)
+        # run-length encode the sorted keys -> per-distinct-kmer counts
+        newrun = jnp.concatenate([jnp.ones(1, jnp.int32), (canon[1:] != canon[:-1]).astype(jnp.int32)])
+        run_id = jnp.cumsum(newrun) - 1
+        counts = jax.ops.segment_sum(jnp.ones_like(run_id), run_id, num_segments=canon.shape[0])
+        # histogram of counts, attributed once per run start; sentinel ignored
+        starts = newrun == 1
+        real = starts & (canon != jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        cnt_at_start = counts[run_id]
+        clipped = jnp.clip(jnp.where(real, cnt_at_start, 0), 0, histo_max)
+        hist = jnp.zeros((histo_max + 1,), jnp.int32).at[clipped].add(real.astype(jnp.int32))
+        hist = hist.at[0].set(0)
+        ghist = jax.lax.psum(hist, axis)
+        return canon, ghist
+
+    shard_fn_mapped = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(axis, None),), out_specs=(P(axis), P())
+    )
+    rows = jnp.asarray(read_codes)
+    kmers_runs, ghist = jax.jit(shard_fn_mapped)(rows)
+    return np.asarray(kmers_runs), np.asarray(ghist)
+
+
+def pipeline_step(mesh: Mesh, read_codes: np.ndarray, windows: np.ndarray, solid_sorted, repeat_sorted, k: int):
+    """A full multi-chip 'step': distributed counting (dp axis with psum) +
+    window-sharded scan (sp axis). Used by the multichip dry run."""
+    runs, ghist = distributed_count_step(mesh, read_codes, k)
+    planes = sharded_scan(mesh, windows, solid_sorted, repeat_sorted, k)
+    return runs, ghist, planes

@@ -1,0 +1,91 @@
+"""Device-pass parity (jnp vs numpy oracle) and multi-chip sharding tests.
+
+Runs on the CPU backend with 8 virtual devices (conftest)."""
+
+import numpy as np
+import pytest
+
+from mindthegap_tpu.graph import dbg
+from mindthegap_tpu.ops import kmers as K
+from mindthegap_tpu.utils import dna
+from mindthegap_tpu.find import scan
+from mindthegap_tpu.find.scan_device import compute_planes_device
+from mindthegap_tpu.parallel import mesh as M
+
+
+@pytest.fixture(scope="module")
+def tiny_graph():
+    rng = np.random.default_rng(7)
+    genome = "".join(rng.choice(list("ACGT"), size=5000))
+    k = 21
+    reads = []
+    for _ in range(900):
+        i = rng.integers(0, 5000 - 100)
+        r = genome[i : i + 100]
+        reads.append(r)
+    counter_codes = [dna.seq_to_codes(r) for r in reads]
+    from mindthegap_tpu.ops import counting
+
+    c = counting.StreamingCounter(k)
+    for cc in counter_codes:
+        c.add_codes(cc)
+    res = c.result()
+    keep = res.counts >= 3
+    solid = dbg.SolidSet(res.kmers[keep], k, res.counts[keep])
+    rep = dbg.SolidSet(np.sort(res.kmers[keep][: 50]), k - 1)  # arbitrary repeat set
+    return genome, k, solid, rep
+
+
+def test_device_planes_match_host(tiny_graph):
+    genome, k, solid, rep = tiny_graph
+    # inject Ns to exercise validity
+    g = genome[:1500] + "N" + genome[1501:3000]
+    codes = dna.seq_to_codes(g)
+    host = scan.compute_planes(codes, k, solid.kmers, rep.kmers)
+    dev = compute_planes_device(codes, k, solid.kmers, rep.kmers, window=512)
+    for field in ("valid", "fwd", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep"):
+        np.testing.assert_array_equal(getattr(host, field), getattr(dev, field), err_msg=field)
+
+
+def test_sharded_scan_matches_host(tiny_graph):
+    genome, k, solid, rep = tiny_graph
+    m = M.make_mesh(8)
+    W = 256
+    codes = dna.seq_to_codes(genome)
+    halo = k - 1
+    step = W - halo
+    wins = []
+    for s in range(0, 8 * step, step):
+        chunk = np.full(W, 255, np.uint8)
+        part = codes[s : s + W]
+        chunk[: part.shape[0]] = part
+        wins.append(chunk)
+    wins = np.stack(wins)
+    planes = M.sharded_scan(m, wins, solid.kmers, rep.kmers, k)
+    # compare against host scan on the same windows
+    for i in range(wins.shape[0]):
+        host = scan.compute_planes(wins[i], k, solid.kmers, rep.kmers)
+        np.testing.assert_array_equal(host.contains, planes["contains"][i])
+        np.testing.assert_array_equal(host.nb_in, planes["nb_in"][i])
+
+
+def test_distributed_count_histogram(tiny_graph):
+    genome, k, solid, rep = tiny_graph
+    m = M.make_mesh(8)
+    rng = np.random.default_rng(0)
+    reads = np.stack(
+        [dna.seq_to_codes(genome[i : i + 64]) for i in rng.integers(0, 4000, size=64)]
+    )
+    runs, ghist = M.distributed_count_step(m, reads, k, histo_max=100)
+    # oracle histogram
+    from collections import Counter
+
+    cnt = Counter()
+    for row in reads:
+        fwd, valid = K.kmers_from_codes(row, k)
+        for km in K.canonical_u64(fwd[valid], k):
+            cnt[int(km)] += 1
+    want = np.zeros(101, np.int64)
+    for v in cnt.values():
+        want[min(v, 100)] += 1
+    np.testing.assert_array_equal(ghist, want)
