@@ -2,11 +2,12 @@
 """Benchmark: find-scan plane throughput on the local accelerator.
 
 Measures the flagship device pass — the `find` hot loop (per reference base:
-1 canonical membership probe + 8 neighbor probes for degrees + 2 repeat-set
-probes, reference src/FindBreakpoints.hpp:560-622 / SURVEY.md §3.1) — on a
-human-scale synthetic instance, and compares against the single-core numpy
-host oracle (the faithful reimplementation of the reference's sequential
-probe loop) measured in the same run.
+canonical membership, fwd-strand in/out degrees, and two (k-1)-mer repeat
+bits; reference src/FindBreakpoints.hpp:560-622 / SURVEY.md §3.1) — using
+the TPU-shaped extension-bitmap membership map (mindthegap_tpu/ops/extmap.py,
+~6 HBM gathers per base), on a genome-scale synthetic instance, against the
+single-core numpy host oracle (the exact reimplementation of the reference's
+sequential probe loop) measured in the same run.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -22,43 +23,54 @@ import numpy as np
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
     from mindthegap_tpu.find import scan
-    from mindthegap_tpu.find.scan_device import scan_planes_device
+    from mindthegap_tpu.find.scan_device import scan_planes_device_ext
+    from mindthegap_tpu.ops import extmap as X
+    from mindthegap_tpu.ops import kmers as K
 
     k = 31
     rng = np.random.default_rng(42)
 
-    # synthetic instance: ~16M solid kmers (a bacterial-to-small-genome scale
-    # read set), 4 Mbase reference window set
-    n_solid = 1 << 24
-    n_repeat = 1 << 20
+    # synthetic genome; its kmers form the solid set (realistic hit rates)
+    genome = rng.integers(0, 4, size=1 << 22, dtype=np.uint8)
+    fwd, _ = K.kmers_from_codes(genome, k)
+    solid = np.unique(K.canonical_u64(fwd, k))
+    repeat = np.unique(K.canonical_u64(fwd[: 1 << 19] & K.kmer_mask(k - 1), k - 1))
+
+    em = X.build(solid, k)
+    rm = X.build_member(repeat)
+
     window = 1 << 22
-    solid = np.sort(rng.integers(0, 1 << 62, size=n_solid, dtype=np.uint64))
-    repeat = np.sort(rng.integers(0, 1 << 60, size=n_repeat, dtype=np.uint64))
-    codes = rng.integers(0, 4, size=window, dtype=np.uint8)
+    codes = genome[:window]
+    E = np.array([X.EMPTY], np.uint64)
+    Z = np.zeros(1, np.uint8)
+    args = (
+        jnp.asarray(codes),
+        jnp.asarray(em.keys), jnp.asarray(em.payload),
+        jnp.asarray(em.stash_keys if em.stash_keys.size else E),
+        jnp.asarray(em.stash_payload if em.stash_payload.size else Z),
+        em.log_size,
+        jnp.asarray(rm.keys),
+        jnp.asarray(rm.stash_keys if rm.stash_keys.size else E),
+        rm.log_size,
+        k,
+    )
 
-    solid_d = jnp.asarray(solid)
-    repeat_d = jnp.asarray(repeat)
-    codes_d = jnp.asarray(codes)
+    # compile + warm up (forcing a transfer: async dispatch on this backend
+    # does not reliably honor block_until_ready)
+    int(jnp.sum(scan_planes_device_ext(*args)["nb_in"]))
 
-    # compile + warm up
-    out = scan_planes_device(codes_d, solid_d, repeat_d, k)
-    jax.block_until_ready(out)
-
-    iters = 5
     best = float("inf")
-    for _ in range(iters):
+    for _ in range(5):
         t0 = time.perf_counter()
-        out = scan_planes_device(codes_d, solid_d, repeat_d, k)
-        jax.block_until_ready(out)
+        int(jnp.sum(scan_planes_device_ext(*args)["nb_in"]))
         best = min(best, time.perf_counter() - t0)
     device_bases_per_s = window / best
 
-    # single-core numpy oracle on a slice, extrapolated
-    slice_n = 1 << 18
+    # single-core numpy oracle on a slice
+    slice_n = 1 << 19
     t0 = time.perf_counter()
     scan.compute_planes(codes[:slice_n], k, solid, repeat)
     host_t = time.perf_counter() - t0

@@ -1,0 +1,273 @@
+"""Extension-bitmap membership map — the TPU-shaped de Bruijn graph probe.
+
+The find scan needs, per reference position i (reference
+src/FindBreakpoints.hpp:560-622 + store_kmer_info): membership of kmer_i,
+its forward-strand in/out degrees, and two (k-1)-mer repeat bits — naively
+11 independent set probes. On TPU the cost of this pass is the number of
+HBM gathers (per-index bound, ~76M/s on v5e, measured), so the structure
+below restates all of it as ~2 gathers per position:
+
+Key observation: out-neighbors of kmer_i share their (k-1)-prefix
+p_{i+1} = kmer_i[1:], in-neighbors share their (k-1)-suffix p_i =
+kmer_i[:-1], and kmer_i itself is p_i·x. So index a hash table by
+*canonical (k-1)-mers* whose payload is one byte:
+
+    ext[4 bits]  — which bases x make  p·x  a solid k-mer (as-read p)
+    pre[4 bits]  — which bases y make  y·p  a solid k-mer (as-read p)
+
+For the reverse-complement orientation the payload is derivable:
+ext_{rc(p)}[x] = pre_p[x ^ 2] and pre_{rc(p)}[y] = ext_p[y ^ 2]
+(complement is code^2 in the A=0,C=1,T=2,G=3 alphabet), so one canonical
+entry serves both strands. Then, per position, ONE lookup at canon(p_i)
+yields contains(kmer_{i-1})'s last bit, nb_in(kmer_i), and nb_out(kmer_{i-1});
+a sliding window over positions turns the whole plane pass into one lookup
+stream. Storage: 2-choice cuckoo (load 0.45), key plane u64 + payload
+plane u8, built host-side (exact — no Bloom FPs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import kmers as K
+
+EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+_H1 = np.uint64(0x9E3779B97F4A7C15)
+_H2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _mix(keys, const):
+    h = (keys ^ (keys >> np.uint64(33))) * const
+    return h ^ (h >> np.uint64(29))
+
+
+@dataclass
+class ExtMap:
+    keys: np.ndarray  # u64 [S]
+    payload: np.ndarray  # u8 [S]
+    log_size: int
+    stash_keys: np.ndarray  # u64 [<=64]
+    stash_payload: np.ndarray  # u8
+
+    @property
+    def nbytes(self):
+        return self.keys.nbytes + self.payload.nbytes
+
+
+def build(solid_canonical: np.ndarray, k: int, load_factor: float = 0.35) -> "ExtMap":
+    """Build the (k-1)-mer extension map from the canonical solid k-mer set."""
+    solid = np.asarray(solid_canonical, dtype=np.uint64)
+    km1 = k - 1
+    mask_km1 = K.kmer_mask(km1)
+    shift_first = np.uint64(2 * km1)
+
+    # both orientations of every solid kmer
+    fwd = solid
+    rc = K.revcomp_u64(solid, k)
+    allk = np.concatenate([fwd, rc])
+
+    # prefix rule: p = F >> 2 (as-read), x = F & 3  -> ext_p[x]
+    p_pref = (allk >> np.uint64(2)) & mask_km1
+    x_last = (allk & np.uint64(3)).astype(np.uint8)
+    # suffix rule: s = F & mask, y = first base     -> pre_s[y]
+    s_suff = allk & mask_km1
+    y_first = ((allk >> shift_first) & np.uint64(3)).astype(np.uint8)
+
+    # fold into canonical (k-1)-mer keys; rc keys swap/complement bit roles
+    def fold(keys_asread, bitpos, is_ext):
+        canon = K.canonical_u64(keys_asread, km1)
+        is_canon = keys_asread == canon
+        # ext bits live in payload bits 0..3, pre bits in 4..7
+        bit = np.where(
+            is_canon,
+            (0 if is_ext else 4) + bitpos,
+            (4 if is_ext else 0) + (bitpos ^ 2),
+        )
+        return canon, np.left_shift(np.uint8(1), bit.astype(np.uint8)).astype(np.uint16)
+
+    k1, b1 = fold(p_pref, x_last, True)
+    k2, b2 = fold(s_suff, y_first, False)
+    keys_all = np.concatenate([k1, k2])
+    bits_all = np.concatenate([b1, b2]).astype(np.uint8)
+
+    # aggregate payload per distinct key (bitwise or)
+    order = np.argsort(keys_all, kind="stable")
+    ks, bs = keys_all[order], bits_all[order]
+    uniq_mask = np.empty(ks.size, bool)
+    uniq_mask[0] = True
+    uniq_mask[1:] = ks[1:] != ks[:-1]
+    group = np.cumsum(uniq_mask) - 1
+    payload = np.zeros(int(group[-1]) + 1, np.uint8)
+    np.bitwise_or.at(payload, group, bs)
+    uniq_keys = ks[uniq_mask]
+
+    return _place(uniq_keys, payload, load_factor)
+
+
+def _place(keys: np.ndarray, values: np.ndarray, load_factor: float) -> "ExtMap":
+    n = max(int(keys.size), 1)
+    log_size = max(4, int(np.ceil(np.log2(n / load_factor))))
+    size = 1 << log_size
+    tab_k = np.full(size, EMPTY, np.uint64)
+    tab_v = np.zeros(size, np.uint8)
+    choice = np.zeros(size, np.uint8)
+
+    pend_k, pend_v = keys, values
+    ptry = np.zeros(pend_k.size, np.uint8)
+    attempts = np.zeros(pend_k.size, np.uint8)
+    consts = (_H1, _H2)
+
+    for rnd in range(300):
+        if pend_k.size == 0:
+            break
+        slots = np.empty(pend_k.size, np.int64)
+        for h in range(2):
+            m = ptry == h
+            if m.any():
+                slots[m] = (_mix(pend_k[m], consts[h]) >> np.uint64(64 - log_size)).astype(np.int64)
+        force = attempts >= 2
+        greedy = ~force & (tab_k[slots] == EMPTY)
+        gidx = np.nonzero(greedy)[0]
+        u, fi = np.unique(slots[gidx], return_index=True)
+        tab_k[u] = pend_k[gidx[fi]]
+        tab_v[u] = pend_v[gidx[fi]]
+        choice[u] = ptry[gidx[fi]]
+        placed = np.zeros(pend_k.size, bool)
+        placed[gidx[fi]] = True
+
+        ev_k = np.zeros(0, np.uint64)
+        ev_v = np.zeros(0, np.uint8)
+        ev_t = np.zeros(0, np.uint8)
+        fidx = np.nonzero(force)[0]
+        if fidx.size:
+            # stagger evictions (random ~25% per round, varying by round) to
+            # break symmetric eviction cycles between parallel force keys
+            gate = ((_mix(pend_k[fidx], np.uint64(0xA0761D6478BD642F + 2 * rnd + 1)) >> np.uint64(62)) == 0)
+            fidx = fidx[gate]
+        if fidx.size:
+            u, fi = np.unique(slots[fidx], return_index=True)
+            occ = tab_k[u] != EMPTY
+            ev_k, ev_v = tab_k[u][occ], tab_v[u][occ]
+            ev_t = (choice[u][occ] + 1) % 2
+            tab_k[u] = pend_k[fidx[fi]]
+            tab_v[u] = pend_v[fidx[fi]]
+            choice[u] = ptry[fidx[fi]]
+            placed[fidx[fi]] = True
+
+        rest = ~placed
+        pend_k = np.concatenate([pend_k[rest], ev_k])
+        pend_v = np.concatenate([pend_v[rest], ev_v])
+        ptry = np.concatenate([(ptry[rest] + 1) % 2, ev_t])
+        attempts = np.concatenate([attempts[rest] + 1, np.zeros(ev_k.size, np.uint8)])
+
+    # sequential random-walk cleanup
+    rng = np.random.default_rng(0xBEEF)
+    stuck_k, stuck_v = [], []
+    for key, val in zip(pend_k, pend_v):
+        cur_k, cur_v = np.uint64(key), np.uint8(val)
+        ch = 0
+        ok = False
+        for _ in range(500):
+            slot = int(_mix(cur_k[None], consts[ch])[0] >> np.uint64(64 - log_size))
+            if tab_k[slot] == EMPTY:
+                tab_k[slot], tab_v[slot], choice[slot] = cur_k, cur_v, ch
+                ok = True
+                break
+            cur_k, tab_k[slot] = tab_k[slot], cur_k
+            cur_v, tab_v[slot] = tab_v[slot], cur_v
+            oc = int(choice[slot])
+            choice[slot] = ch
+            ch = (oc + 1) % 2
+        if not ok:
+            stuck_k.append(int(cur_k))
+            stuck_v.append(int(cur_v))
+    if len(stuck_k) > 64:
+        raise ValueError(f"extmap build left {len(stuck_k)} keys unplaced")
+    order = np.argsort(np.array(stuck_k, np.uint64))
+    return ExtMap(
+        tab_k, tab_v, log_size,
+        np.array(stuck_k, np.uint64)[order],
+        np.array(stuck_v, np.uint8)[order],
+    )
+
+
+def lookup_payload(em: ExtMap, canon_keys, xp=np):
+    """Vectorized payload lookup (0 for absent keys). 4 gathers total."""
+    keys = xp.asarray(canon_keys, dtype=xp.uint64)
+    out = xp.zeros(keys.shape, dtype=xp.uint8)
+    for const in (_H1, _H2):
+        h = (keys ^ (keys >> np.uint64(33))) * const
+        h = h ^ (h >> np.uint64(29))
+        slots = (h >> np.uint64(64 - em.log_size)).astype(xp.int64 if xp is not np else np.int64)
+        hit = em.keys[slots] == keys
+        out = xp.where(hit, em.payload[slots], out)
+    for i in range(int(len(em.stash_keys))):
+        out = xp.where(keys == em.stash_keys[i], em.stash_payload[i], out)
+    return out
+
+
+def build_member(keys_canonical: np.ndarray, load_factor: float = 0.35) -> "ExtMap":
+    """Key-only membership table (2-choice cuckoo, 2 gathers per probe)."""
+    keys = np.unique(np.asarray(keys_canonical, dtype=np.uint64))
+    return _place(keys, np.ones(keys.size, np.uint8), load_factor)
+
+
+def lookup_member(em: ExtMap, canon_keys, xp=np):
+    """Vectorized key-only membership. 2 gathers total."""
+    keys = xp.asarray(canon_keys, dtype=xp.uint64)
+    found = xp.zeros(keys.shape, dtype=bool)
+    for const in (_H1, _H2):
+        h = (keys ^ (keys >> np.uint64(33))) * const
+        h = h ^ (h >> np.uint64(29))
+        slots = (h >> np.uint64(64 - em.log_size)).astype(xp.int64 if xp is not np else np.int64)
+        found = found | (em.keys[slots] == keys)
+    for i in range(int(len(em.stash_keys))):
+        found = found | (keys == em.stash_keys[i])
+    return found
+
+
+def planes_from_payload(payload_i, payload_i1, strand_i, strand_i1, last_base_i, xp=np):
+    """Derive (contains_i, nb_in_i, nb_out_i) from the payloads of
+    q_i = kmer_i[0:k-1] and q_{i+1} = kmer_i[1:k]:
+
+      contains(kmer_i) = ext_{q_i}[last base of kmer_i]
+      nb_out(kmer_i)   = popcount(ext_{q_{i+1}})
+      nb_in(kmer_i)    = popcount(pre_{q_i})
+
+    strand_*: True where the as-read (k-1)-mer equals its canonical form.
+    last_base_i: kmer_i's last base code (= base at position i+k-1)."""
+    ext_i, pre_i = _oriented(payload_i, strand_i, xp)
+    ext_i1, _ = _oriented(payload_i1, strand_i1, xp)
+    contains = ((ext_i >> last_base_i) & 1).astype(bool)
+    nb_out = _popcount4(ext_i1, xp)
+    nb_in = _popcount4(pre_i, xp)
+    return contains, nb_in, nb_out
+
+
+def _oriented(payload, is_canon, xp):
+    ext_c = payload & 0x0F
+    pre_c = (payload >> 4) & 0x0F
+    # rc orientation: ext'[x] = pre_c[x^2] ; bit shuffle 0<->2, 1<->3
+    ext_rc = _shuffle02(pre_c, xp)
+    pre_rc = _shuffle02(ext_c, xp)
+    ext = xp.where(is_canon, ext_c, ext_rc)
+    pre = xp.where(is_canon, pre_c, pre_rc)
+    return ext, pre
+
+
+def _shuffle02(bits, xp):
+    """Permute bitmap positions b -> b^2 (swap bits 0<->2 and 1<->3)."""
+    b0 = (bits >> 0) & 1
+    b1 = (bits >> 1) & 1
+    b2 = (bits >> 2) & 1
+    b3 = (bits >> 3) & 1
+    return (b2 << 0) | (b3 << 1) | (b0 << 2) | (b1 << 3)
+
+
+def _popcount4(bits, xp):
+    return (((bits >> 0) & 1) + ((bits >> 1) & 1) + ((bits >> 2) & 1) + ((bits >> 3) & 1)).astype(
+        xp.int32
+    )
