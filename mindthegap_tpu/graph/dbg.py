@@ -145,10 +145,11 @@ def build_graph(
     abundance_max: int = 2147483647,
 ) -> Graph:
     """Count reads and build the solid-kmer graph (Graph::create equivalent)."""
-    bank = Bank.open(reads_uri)
+    from ..io.bank import iter_codes
+
     counter = counting.StreamingCounter(k)
-    for rec in bank:
-        counter.add_codes(dna.seq_to_codes(rec.seq))
+    for _hdr, codes in iter_codes(reads_uri):
+        counter.add_codes(codes)
     res = counter.result()
 
     auto = isinstance(abundance_min, str) and abundance_min == "auto"
@@ -177,10 +178,11 @@ def build_repeat_set(ref_uri: str, k_minus_1: int, min_occ: int) -> SolidSet:
     (fillRefBloom, src/FindBreakpoints.hpp:955-1009: DSK at kmerSize-1 with
     abundance-min = het_max_occ+1, 12 bits/kmer 8-hash Bloom; our exact set
     removes its ~4e-5 FP rate)."""
-    bank = Bank.open(ref_uri)
+    from ..io.bank import iter_codes
+
     counter = counting.StreamingCounter(k_minus_1)
-    for rec in bank:
-        counter.add_codes(dna.seq_to_codes(rec.seq))
+    for _hdr, codes in iter_codes(ref_uri):
+        counter.add_codes(codes)
     res = counter.result()
     keep = res.counts >= min_occ
     return SolidSet(res.kmers[keep], k_minus_1, res.counts[keep])

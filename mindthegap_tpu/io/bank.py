@@ -82,6 +82,24 @@ class Bank:
         return sum(len(s.seq) for s in self)
 
 
+def iter_codes(uri: str):
+    """Yield (header, packed-code uint8 array) per record, using the native
+    parser when available (mindthegap_tpu/io/cbank.py), else the python
+    reader. This is the graph-build ingestion path."""
+    from ..utils import dna
+    from . import cbank
+
+    for path in _expand_uri(uri):
+        parsed = cbank.parse_codes(path) if cbank.available() else None
+        if parsed is not None:
+            headers, codes, offsets = parsed
+            for i, h in enumerate(headers):
+                yield h, codes[offsets[i] : offsets[i + 1]]
+        else:
+            for rec in _iter_file(path):
+                yield rec[0], dna.seq_to_codes(rec[1])
+
+
 def _iter_file(path: str):
     with _open_text(path) as f:
         first = f.read(1)
