@@ -45,9 +45,12 @@ class TraversalPolicy:
     start_mark: bool = True            # mark a branching start node when traversed
     passed_branch_mark: bool = True    # mark branching nodes stepped onto mid-path
     branch_stop_mark: bool = False     # mark the branching node an extension stopped at
-    skip_marked_start: str = "no"      # "skip" | "kmer" (emit bare kmer) | "no"
+    skip_marked_start: str = "kmer"      # "skip" | "kmer" (emit bare kmer) | "no"
     stop_at_marked: bool = True        # stop extension when the next node is marked
-    swf_strstr: bool = False           # stop-when-found via substring search of R
+    swf_mode: str = "none"             # "none" | "r_in_seq" | "seq_in_r" | "anchor_in_seq"
+    swf_noextend: bool = False         # swf hit suppresses pushes instead of breaking
+    push_on_marked_stop: bool = True   # push the marked stop-node as a new seed
+    marked_start_push: bool = False     # bare marked-start pops push their successors
     lifo: bool = False                 # queue discipline (False = FIFO)
     depth_with_kmer: bool = True       # depth += len(contig) (else len(contig) - k)
     max_nodes_strict: bool = False     # break when nbNodes >= max_nodes (else >)
@@ -200,14 +203,19 @@ def _explore_branching(view: GraphView, term: Terminator, node: int, policy: Tra
 
 
 def traverse_right(view: GraphView, term: Terminator, start: int, policy: TraversalPolicy, maxlen: int):
-    """Extend a contig to the right from `start`. Returns (sequence, end_kmer)."""
+    """Extend a contig to the right from `start`.
+
+    Returns (sequence, end_kmer, stop_reason) with stop_reason in
+    {"tip", "fork", "merge", "marked", "maxlen"}."""
     seq = [K.kmer_to_str(start, view.k)]
     slen = view.k
     node = start
+    reason = "maxlen"
     while slen < maxlen:
         succs = view.successors(node)
         if len(succs) == 0:
-            break  # dead end
+            reason = "tip"
+            break
         if len(succs) > 1 or (
             policy.in_branch_stop and len(view.predecessors(succs[0][1])) > 1
         ):
@@ -215,6 +223,7 @@ def traverse_right(view: GraphView, term: Terminator, start: int, policy: Traver
             if policy.explore_branching:
                 crossed = _explore_branching(view, term, node, policy)
             if crossed is None:
+                reason = "fork" if len(succs) > 1 else "merge"
                 if policy.branch_stop_mark and len(succs) > 1:
                     term.mark(node)
                 break
@@ -225,13 +234,14 @@ def traverse_right(view: GraphView, term: Terminator, start: int, policy: Traver
         nt, nxt = succs[0]
         if view.is_branching(nxt):
             if policy.stop_at_marked and term.is_marked(nxt):
+                reason = "marked"
                 break
             if policy.passed_branch_mark:
                 term.mark(nxt)
         seq.append("ACTG"[nt])
         slen += 1
         node = nxt
-    return "".join(seq), node
+    return "".join(seq), node, reason
 
 
 def construct_linear_seqs(
@@ -256,19 +266,37 @@ def construct_linear_seqs(
     queue = deque([(start, 0)])
     contigs: list[str] = []
 
+    def swf_hit(seq: str) -> bool:
+        if not swf or not R:
+            return False
+        if policy.swf_mode == "r_in_seq":
+            return R in seq
+        if policy.swf_mode == "seq_in_r":
+            return seq in R
+        if policy.swf_mode == "anchor_in_seq":
+            return any(R[i : i + k] in seq for i in range(0, len(R) - k + 1, k))
+        return False
+
     while queue:
         cur, depth = queue.pop() if policy.lifo else queue.popleft()
         if contigs and term.is_marked(cur):
             if policy.skip_marked_start == "skip":
                 continue
             if policy.skip_marked_start == "kmer":
-                contigs.append(K.kmer_to_str(cur, k))
+                seq = K.kmer_to_str(cur, k)
+                contigs.append(seq)
+                if swf_hit(seq) and not policy.swf_noextend:
+                    break
+                if policy.marked_start_push:
+                    for _, nxt in view.successors(cur):
+                        queue.append((nxt, depth + len(seq)))
                 continue
         if policy.start_mark and view.is_branching(cur):
             term.mark(cur)
-        seq, last = traverse_right(view, term, cur, policy, max_depth)
+        seq, last, reason = traverse_right(view, term, cur, policy, max_depth)
         contigs.append(seq)
-        if swf and policy.swf_strstr and R and R in seq:
+        hit = swf_hit(seq)
+        if hit and not policy.swf_noextend:
             break
         new_depth = depth + (len(seq) if policy.depth_with_kmer else len(seq) - k)
         if policy.max_nodes_strict:
@@ -277,6 +305,10 @@ def construct_linear_seqs(
         elif len(contigs) > max_nodes:
             break
         if new_depth > max_depth:
+            continue
+        if hit and policy.swf_noextend:
+            continue
+        if reason == "marked" and not policy.push_on_marked_stop:
             continue
         for _, nxt in view.successors(last):
             queue.append((nxt, new_depth))
