@@ -362,15 +362,7 @@ class Filler:
                 solution_rank = 1
                 for f in tmp:
                     cseq = source_seq + f.seq
-                    codes = dna.seq_to_codes(cseq)
-                    fwd, valid = K.kmers_from_codes(codes, self.k)
-                    canon = K.canonical_u64(fwd[valid], self.k)
-                    covs = self.graph.query_abundance_canon(canon)
-                    for win_i in np.nonzero(covs == 0)[0]:
-                        sys.stderr.write(
-                            "WARNING Unknown kmer : %s\n" % K.kmer_to_str(int(fwd[valid][win_i]), self.k)
-                        )
-                    abunds = [int(c) for c in covs]
+                    abunds = self._coverage_scan(cseq)
                     f.median_coverage = median(abunds) if abunds else 0.0
                     f.avg_coverage = (sum(abunds) / float(len(abunds))) if abunds else 0.0
                     f.solution_count = nb_reported
@@ -386,6 +378,38 @@ class Filler:
                 infostring[0] += "\t%d" % len(filled)
         else:
             extension_out[0] = self.get_first_contig(contigs)
+
+    def _coverage_scan(self, cseq: str):
+        """Per-kmer abundances of source+insertion (src/Filler.cpp:958-987);
+        works for every kmer span. Invalid (N) windows are skipped like the
+        reference's canonical-iterator."""
+        from ..ops.span import canonical_int
+
+        k = self.k
+        abunds = []
+        codes = dna.seq_to_codes(cseq)
+        fwd, valid = (None, None)
+        if k <= 32:
+            fwd, valid = K.kmers_from_codes(codes, k)
+            canon = K.canonical_u64(fwd[valid], k)
+            covs = self.graph.query_abundance_canon(canon)
+            for win_i in np.nonzero(covs == 0)[0]:
+                sys.stderr.write(
+                    "WARNING Unknown kmer : %s\n" % K.kmer_to_str(int(fwd[valid][win_i]), k)
+                )
+            return [int(c) for c in covs]
+        for i in range(len(cseq) - k + 1):
+            win = codes[i : i + k]
+            if (win == dna.INVALID).any():
+                continue
+            x = 0
+            for c in win:
+                x = (x << 2) | int(c)
+            cov = self.graph.query_abundance_int(canonical_int(x, k))
+            if cov == 0:
+                sys.stderr.write("WARNING Unknown kmer : %s\n" % cseq[i : i + k])
+            abunds.append(cov)
+        return abunds
 
     # ------------------------------------------------------------------
     # target anchor matching (find_nodes_containing_multiple_R,

@@ -33,6 +33,7 @@ import numpy as np
 
 from ..ops import kmers as K
 from ..ops.nw import nw_identity
+from ..ops.span import canonical_int
 
 
 @dataclass
@@ -58,22 +59,23 @@ class TraversalPolicy:
 
 class GraphView:
     """Forward-kmer graph interface backed by a plain python set of canonical
-    kmers — the traversal's point queries dwarf numpy call overhead."""
+    kmers (python ints — works for every span) — the traversal's point
+    queries dwarf numpy call overhead."""
 
     def __init__(self, graph):
         self.g = graph
         self.k = graph.k
-        self.kmer_set = set(graph.solid.kmers.tolist())
+        self.kmer_set = set(graph.solid.to_int_array())
         self._succ: dict[int, tuple] = {}
         self._pred: dict[int, tuple] = {}
 
     def contains_fwd(self, fwd: int) -> bool:
-        return min(fwd, int(K.revcomp_u64(np.uint64(fwd), self.k))) in self.kmer_set
+        return canonical_int(fwd, self.k) in self.kmer_set
 
     def successors(self, fwd: int):
         r = self._succ.get(fwd)
         if r is None:
-            mask = int(K.kmer_mask(self.k))
+            mask = (1 << (2 * self.k)) - 1
             r = tuple(
                 (nt, nxt)
                 for nt in range(4)
@@ -97,7 +99,7 @@ class GraphView:
         return r
 
     def canonical(self, fwd: int) -> int:
-        return min(fwd, int(K.revcomp_u64(np.uint64(fwd), self.k)))
+        return canonical_int(fwd, self.k)
 
     def is_branching(self, fwd: int) -> bool:
         return len(self.successors(fwd)) != 1 or len(self.predecessors(fwd)) != 1

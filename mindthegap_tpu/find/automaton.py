@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..ops import kmers as K
+from ..ops.span import canonical_int
 from .scan import Planes
 
 U64 = (1 << 64) - 1
@@ -122,30 +123,29 @@ class ScanContext:
 
     # ------------------------------------------------------------------
     # graph/point-query services (IFindObserver helpers,
-    # src/IFindObserver.hpp:85-117 and FindBreakpoints getters)
+    # src/IFindObserver.hpp:85-117 and FindBreakpoints getters); these
+    # operate on python-int kmers and work for every span (any k)
     # ------------------------------------------------------------------
     def contains(self, kmer: int) -> bool:
         """Canonical membership (IFindObserver::contains)."""
-        canon = min(kmer & U64, int(K.revcomp_u64(np.uint64(kmer & U64), self.k)))
-        return bool(self.graph.contains_canon(np.uint64(canon)))
+        return self.graph.contains_canon_int(canonical_int(kmer, self.k))
 
     def nb_in_branch(self, kmer: int) -> int:
-        return int(self.graph.indegree_fwd(np.uint64(kmer & U64)))
+        return self.graph.indegree_int(kmer)
 
     def nb_out_branch(self, kmer: int) -> int:
-        return int(self.graph.outdegree_fwd(np.uint64(kmer & U64)))
+        return self.graph.outdegree_int(kmer)
 
     def suffix_is_repeated(self, kmer: int) -> bool:
         km1 = self.k - 1
-        suffix = kmer & int(K.kmer_mask(km1))
-        canon = min(suffix, int(K.revcomp_u64(np.uint64(suffix), km1)))
-        return bool(self.repeat_set.contains_canon(np.uint64(canon)))
+        suffix = kmer & ((1 << (2 * km1)) - 1)
+        return self.repeat_set.contains_int(canonical_int(suffix, km1))
 
     def ref_bloom_contains(self, canon_km1: int) -> bool:
-        return bool(self.repeat_set.contains_canon(np.uint64(canon_km1)))
+        return self.repeat_set.contains_int(canon_km1)
 
     def to_string(self, kmer: int) -> str:
-        return K.kmer_to_str(kmer & U64, self.k)
+        return K.kmer_to_str(kmer, self.k)
 
     def code_seed_valid(self, s: str) -> bool:
         """model.codeSeed(chars).isValid(): k chars, all ACGT."""

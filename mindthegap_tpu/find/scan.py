@@ -55,8 +55,11 @@ def compute_planes(codes: np.ndarray, k: int, solid_kmers, repeat_kmers, xp=np) 
 
     solid_kmers / repeat_kmers: sorted uint64 arrays (k and k-1 sized
     canonical sets). With xp=jnp and device-resident arrays this is the
-    device pass; with numpy it is the exact host oracle.
+    device pass; with numpy it is the exact host oracle. For k > 32 use
+    compute_planes_span (multi-word keys).
     """
+    if k > 32:
+        return compute_planes_span(codes, k, solid_kmers, repeat_kmers)
     fwd, valid = K.kmers_from_codes(codes, k)
     if fwd.size == 0:
         z = np.zeros(0)
@@ -92,4 +95,50 @@ def compute_planes(codes: np.ndarray, k: int, solid_kmers, repeat_kmers, xp=np) 
         nb_out=np.asarray(nb_out, dtype=np.int32),
         suffix_rep=np.asarray(suffix_rep),
         prefix_rep=np.asarray(prefix_rep),
+    )
+
+
+def compute_planes_span(codes: np.ndarray, k: int, solid_keys, repeat_keys) -> Planes:
+    """Host plane pass for k > 32: multi-word kmers as (P, W) uint64 rows,
+    membership via big-endian void keys (ops/span.py). The `fwd` plane is an
+    object array of python ints (what the host automaton consumes)."""
+    from ..ops.span import Span
+
+    sp = Span(k)
+    spm1 = Span(k - 1)
+    arr, valid = sp.from_codes(codes)
+    p = arr.shape[0]
+    if p == 0:
+        z = np.zeros(0)
+        return Planes(*(z.astype(t) for t in (bool, object, bool, np.int32, np.int32, bool, bool)))
+
+    def member(keyset, keys):
+        if len(keyset) == 0:
+            return np.zeros(keys.shape, bool)
+        idx = np.searchsorted(keyset, keys)
+        idx = np.minimum(idx, len(keyset) - 1)
+        return keyset[idx] == keys
+
+    contains = member(solid_keys, sp.keys(sp.canonical(arr)))
+    nb_out = np.zeros(p, np.int32)
+    nb_in = np.zeros(p, np.int32)
+    for x in range(4):
+        nb_out += member(solid_keys, sp.keys(sp.canonical(sp.shift_left_insert(arr, x))))
+        nb_in += member(solid_keys, sp.keys(sp.canonical(sp.shift_right_insert(arr, x))))
+    nb_out = np.where(contains, nb_out, 0)
+    nb_in = np.where(contains, nb_in, 0)
+
+    suffix = sp.low_bits(arr, k - 1)
+    prefix = sp.low_bits(sp.shifted_right2(arr), k - 1)
+    suffix_rep = member(repeat_keys, spm1.keys(spm1.canonical(suffix)))
+    prefix_rep = member(repeat_keys, spm1.keys(spm1.canonical(prefix)))
+
+    return Planes(
+        valid=np.asarray(valid),
+        fwd=sp.to_ints(arr),
+        contains=contains,
+        nb_in=nb_in,
+        nb_out=nb_out,
+        suffix_rep=suffix_rep,
+        prefix_rep=prefix_rep,
     )

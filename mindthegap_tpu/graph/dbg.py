@@ -4,58 +4,100 @@ Replaces GATB-core's Bloom + cascading-debloom + MPHF graph
 (call sites: Graph::create/load src/Finder.cpp:266-278, contains
 src/FindBreakpoints.hpp:853, in/outdegree src/FindBreakpoints.hpp:707-713,
 queryAbundance src/Filler.cpp:978). Membership is exact — a sorted canonical
-k-mer array + binary search — which is a strict superset of the reference's
-bloom+cFP guarantee and hash-robust (see SURVEY.md §7 hard-part 1).
+k-mer key array + binary search — which is a strict superset of the
+reference's bloom+cFP guarantee and hash-robust (SURVEY.md §7 hard-part 1).
 
-Host arrays are numpy (the observers make sparse point queries); the find
-scan uploads the same arrays to device and probes them vectorized
-(mindthegap_tpu/find/scan.py).
+K-mer spans: for k <= 32 keys are uint64; for 32 < k <= 256 keys are
+multi-word big-endian void views (ops/span.py) with identical sort/search
+semantics — mirroring the reference's KSIZE_LIST template spans
+(reference README.md:172-180).
 """
 
 from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..io.bank import Bank
 from ..ops import counting, kmers as K
-from ..utils import dna
+from ..ops.span import Span, canonical_int, revcomp_int
 
 
 class SolidSet:
-    """Sorted canonical k-mer set with optional abundance values."""
+    """Sorted canonical k-mer set with optional abundance values.
 
-    def __init__(self, kmers_sorted: np.ndarray, k: int, counts: np.ndarray | None = None):
-        self.kmers = np.ascontiguousarray(kmers_sorted, dtype=np.uint64)
-        self.counts = None if counts is None else np.ascontiguousarray(counts)
+    keys: sorted uint64 array (k <= 32) or sorted void array (k > 32)."""
+
+    def __init__(self, keys: np.ndarray, k: int, counts: np.ndarray | None = None):
         self.k = k
+        self.span = Span(k) if k > 32 else None
+        if keys.dtype == np.uint64 or keys.dtype.kind == "V":
+            self.keys = np.ascontiguousarray(keys)
+        else:
+            self.keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        self.counts = None if counts is None else np.ascontiguousarray(counts)
+
+    # legacy name used by device paths (u64 only)
+    @property
+    def kmers(self):
+        return self.keys
 
     def __len__(self):
-        return int(self.kmers.size)
+        return int(self.keys.size)
 
+    # -- vectorized (canonical keys in the native representation) ----------
+    def contains_key(self, keys):
+        if len(self.keys) == 0:
+            return np.zeros(np.asarray(keys).shape, bool)
+        idx = np.searchsorted(self.keys, keys)
+        idx = np.minimum(idx, len(self.keys) - 1)
+        return self.keys[idx] == keys
+
+    def abundance_key(self, keys):
+        if len(self.keys) == 0:
+            return np.zeros(np.asarray(keys).shape, np.int64)
+        idx = np.searchsorted(self.keys, keys)
+        idx = np.minimum(idx, len(self.keys) - 1)
+        hit = self.keys[idx] == keys
+        return np.where(hit, self.counts[idx], 0)
+
+    # -- u64 compatibility surface (k <= 32 device/host fast paths) --------
     def contains_canon(self, canon):
-        """Vectorized membership of canonical kmer(s)."""
-        canon = np.asarray(canon, dtype=np.uint64)
-        idx = np.searchsorted(self.kmers, canon)
-        idx = np.minimum(idx, max(len(self.kmers) - 1, 0))
-        if len(self.kmers) == 0:
-            return np.zeros(canon.shape, bool)
-        return self.kmers[idx] == canon
-
-    def contains_fwd(self, fwd):
-        return self.contains_canon(K.canonical_u64(np.asarray(fwd, dtype=np.uint64), self.k))
+        if self.span is None:
+            return self.contains_key(np.asarray(canon, dtype=np.uint64))
+        return self.contains_key(canon)
 
     def abundance_canon(self, canon):
-        canon = np.asarray(canon, dtype=np.uint64)
-        if len(self.kmers) == 0:
-            return np.zeros(canon.shape, np.int64)
-        idx = np.searchsorted(self.kmers, canon)
-        idx = np.minimum(idx, len(self.kmers) - 1)
-        hit = self.kmers[idx] == canon
-        return np.where(hit, self.counts[idx], 0)
+        if self.span is None:
+            return self.abundance_key(np.asarray(canon, dtype=np.uint64))
+        return self.abundance_key(canon)
+
+    def contains_fwd(self, fwd):
+        assert self.span is None, "u64 path only"
+        return self.contains_key(K.canonical_u64(np.asarray(fwd, dtype=np.uint64), self.k))
+
+    # -- python-int point queries (any k; observers / fill traversal) ------
+    def contains_int(self, canon: int) -> bool:
+        if len(self.keys) == 0:
+            return False
+        key = self.span.int_key(canon) if self.span is not None else np.uint64(canon)
+        i = int(np.searchsorted(self.keys, key))
+        return i < len(self.keys) and self.keys[i] == key
+
+    def abundance_int(self, canon: int) -> int:
+        if len(self.keys) == 0:
+            return 0
+        key = self.span.int_key(canon) if self.span is not None else np.uint64(canon)
+        i = int(np.searchsorted(self.keys, key))
+        if i < len(self.keys) and self.keys[i] == key:
+            return int(self.counts[i])
+        return 0
+
+    def to_int_array(self):
+        if self.span is None:
+            return self.keys.tolist()
+        return self.span.to_ints(self.span.from_keys(self.keys)).tolist()
 
 
 class Graph:
@@ -76,27 +118,48 @@ class Graph:
     def query_abundance_canon(self, canon):
         return self.solid.abundance_canon(canon)
 
-    # -- degrees ------------------------------------------------------------
+    def contains_canon_int(self, canon: int) -> bool:
+        return self.solid.contains_int(canon)
+
+    def query_abundance_int(self, canon: int) -> int:
+        return self.solid.abundance_int(canon)
+
+    # -- degrees (python-int, any k) ----------------------------------------
+    def outdegree_int(self, fwd: int) -> int:
+        k = self.k
+        mask = (1 << (2 * k)) - 1
+        d = 0
+        for x in range(4):
+            n = ((fwd << 2) | x) & mask
+            if self.solid.contains_int(canonical_int(n, k)):
+                d += 1
+        return d
+
+    def indegree_int(self, fwd: int) -> int:
+        k = self.k
+        d = 0
+        for x in range(4):
+            n = (fwd >> 2) | (x << (2 * (k - 1)))
+            if self.solid.contains_int(canonical_int(n, k)):
+                d += 1
+        return d
+
+    # -- vectorized degrees (u64 fast path) ---------------------------------
     def out_neighbors_fwd(self, fwd):
-        """The 4 right-extension kmers of forward-oriented kmer(s): shape (...,4)."""
         fwd = np.asarray(fwd, dtype=np.uint64)
         mask = K.kmer_mask(self.k)
-        exts = np.stack(
+        return np.stack(
             [((fwd << np.uint64(2)) | np.uint64(x)) & mask for x in range(4)], axis=-1
         )
-        return exts
 
     def in_neighbors_fwd(self, fwd):
         fwd = np.asarray(fwd, dtype=np.uint64)
         shift = np.uint64(2 * (self.k - 1))
-        exts = np.stack(
+        return np.stack(
             [(fwd >> np.uint64(2)) | (np.uint64(x) << shift) for x in range(4)], axis=-1
         )
-        return exts
 
     def outdegree_fwd(self, fwd):
-        """#existing out-neighbors of the kmer read in forward orientation
-        (Graph::outdegree via node strand, src/FindBreakpoints.hpp:711-714)."""
         return self.solid.contains_fwd(self.out_neighbors_fwd(fwd)).sum(axis=-1)
 
     def indegree_fwd(self, fwd):
@@ -104,28 +167,43 @@ class Graph:
 
     def nb_branching(self) -> int:
         """Branching nodes: solid nodes with in-degree != 1 or out-degree != 1
-        (GATB branching definition, stored as "nb_branching" in getInfo())."""
-        km = self.solid.kmers
-        if km.size == 0:
+        (GATB branching definition, "nb_branching" in getInfo())."""
+        if len(self.solid) == 0:
             return 0
-        ind = self.indegree_fwd(km)
-        outd = self.outdegree_fwd(km)
+        if self.solid.span is None:
+            km = self.solid.keys
+            ind = self.indegree_fwd(km)
+            outd = self.outdegree_fwd(km)
+            return int(np.count_nonzero((ind != 1) | (outd != 1)))
+        sp = self.solid.span
+        arr = sp.from_keys(self.solid.keys)
+        ind = np.zeros(arr.shape[0], np.int32)
+        outd = np.zeros(arr.shape[0], np.int32)
+        for x in range(4):
+            outd += self.solid.contains_key(sp.keys(sp.canonical(sp.shift_left_insert(arr, x))))
+            ind += self.solid.contains_key(sp.keys(sp.canonical(sp.shift_right_insert(arr, x))))
         return int(np.count_nonzero((ind != 1) | (outd != 1)))
 
     # -- persistence --------------------------------------------------------
     def save(self, path: str):
         """Serialize the graph artifact (the reference's .h5 checkpoint seam,
-        src/Finder.cpp:274-279 / src/Filler.cpp:216-226). The format is our
-        own (npz container), the file name convention is kept."""
+        src/Finder.cpp:274-279 / src/Filler.cpp:216-226). Format is our own
+        (npz container); the file-name convention is kept."""
+        if self.solid.span is None:
+            kmers = self.solid.keys
+            words = 1
+        else:
+            kmers = self.solid.span.from_keys(self.solid.keys)
+            words = self.solid.span.W
         np.savez_compressed(
             path,
-            magic=np.frombuffer(b"MTGTPU01", dtype=np.uint8),
+            magic=np.frombuffer(b"MTGTPU02", dtype=np.uint8),
             k=np.int64(self.k),
-            kmers=self.solid.kmers,
+            words=np.int64(words),
+            kmers=kmers,
             counts=self.solid.counts if self.solid.counts is not None else np.zeros(0, np.int64),
             info=np.frombuffer(json.dumps(self.info).encode(), dtype=np.uint8),
         )
-        # np.savez appends .npz; keep the exact requested name
         if not path.endswith(".npz") and os.path.exists(path + ".npz"):
             os.replace(path + ".npz", path)
 
@@ -134,7 +212,10 @@ class Graph:
         with np.load(path, allow_pickle=False) as z:
             k = int(z["k"])
             info = json.loads(bytes(z["info"].tobytes()).decode())
-            solid = SolidSet(z["kmers"], k, z["counts"])
+            kmers = z["kmers"]
+            if kmers.ndim == 2:
+                kmers = Span(k).keys(kmers)
+            solid = SolidSet(kmers, k, z["counts"])
         return Graph(solid, info)
 
 
@@ -174,10 +255,9 @@ def build_graph(
 
 def build_repeat_set(ref_uri: str, k_minus_1: int, min_occ: int) -> SolidSet:
     """Canonical (k-1)-mers occurring >= min_occ times in the reference —
-    the exact-set stand-in for the reference's repeat Bloom
-    (fillRefBloom, src/FindBreakpoints.hpp:955-1009: DSK at kmerSize-1 with
-    abundance-min = het_max_occ+1, 12 bits/kmer 8-hash Bloom; our exact set
-    removes its ~4e-5 FP rate)."""
+    exact-set stand-in for the reference's repeat Bloom (fillRefBloom,
+    src/FindBreakpoints.hpp:955-1009: DSK at kmerSize-1 with abundance-min =
+    het_max_occ+1; our exact set removes its ~4e-5 FP rate)."""
     from ..io.bank import iter_codes
 
     counter = counting.StreamingCounter(k_minus_1)

@@ -45,23 +45,39 @@ class CountResult:
 class StreamingCounter:
     """Accumulates canonical k-mer counts over batches of sequences.
 
-    Keeps a sorted (kmers, counts) pair merged batch by batch — the same
+    Keeps a sorted (keys, counts) pair merged batch by batch — the same
     merge structure a multi-chip build uses (per-chip sort + all-merge).
+    For k <= 32 keys are uint64; for larger spans they are multi-word
+    big-endian void keys (ops/span.py) with identical ordering semantics.
     """
 
     def __init__(self, k: int, batch_kmers: int = 1 << 24):
         self.k = k
-        self._sorted = np.zeros(0, np.uint64)
+        self.span = None
+        if k > 32:
+            from .span import Span
+
+            self.span = Span(k)
+            empty = self.span.keys(np.zeros((0, self.span.W), np.uint64))
+        else:
+            empty = np.zeros(0, np.uint64)
+        self._sorted = empty
         self._counts = np.zeros(0, np.int64)
         self._pending: list[np.ndarray] = []
         self._pending_n = 0
         self._batch = batch_kmers
 
     def add_codes(self, codes: np.ndarray):
-        fwd, valid = K.kmers_from_codes(codes, self.k)
-        if fwd.size == 0:
-            return
-        canon = K.canonical_u64(fwd[valid], self.k)
+        if self.span is not None:
+            arr, valid = self.span.from_codes(codes)
+            if arr.shape[0] == 0:
+                return
+            canon = self.span.keys(self.span.canonical(arr[valid]))
+        else:
+            fwd, valid = K.kmers_from_codes(codes, self.k)
+            if fwd.size == 0:
+                return
+            canon = K.canonical_u64(fwd[valid], self.k)
         if canon.size:
             self._pending.append(canon)
             self._pending_n += canon.size
