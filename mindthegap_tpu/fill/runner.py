@@ -9,6 +9,7 @@ Both modes:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -29,6 +30,16 @@ U64 = (1 << 64) - 1
 
 class FillerError(Exception):
     pass
+
+
+# fork-inherited state for the process-pool dispatcher (file handles are
+# never touched in workers; computation only)
+_PARALLEL_FILLER = None
+_PARALLEL_METHOD = None
+
+
+def _parallel_worker(*args):
+    return getattr(_PARALLEL_FILLER, _PARALLEL_METHOD)(*args)
 
 
 def find_nodes_containing_multiple_r(k, target_dict, contigs, nb_mis_allowed):
@@ -139,6 +150,7 @@ class Filler:
         self.view = GraphView(self.graph)
 
         self.breakpoint_mode = has_bkpt
+        self.nb_cores = int(opts.get("nb-cores", 0))
         self.max_depth = int(opts.get("max-length", 10000))
         self.max_nodes = int(opts.get("max-nodes", 100))
         self.contig_trim_size = int(opts.get("overlap", 0))
@@ -197,47 +209,86 @@ class Filler:
     # ------------------------------------------------------------------
     # bkpt mode (breakpointFunctor, src/Filler.cpp:615-739)
     # ------------------------------------------------------------------
+    def _bkpt_job(self, prev, rec):
+        """Compute one breakpoint job; returns everything the writers need.
+        Pure with respect to output files (parallel-safe)."""
+        source_seq = prev.seq
+        breakpoint_name = prev.comment_short
+        begin_kmer_repeated = "REPEATED" in prev.comment
+        target_seq = rec.seq
+        breakpoint_name_r = rec.comment_short
+        end_kmer_repeated = "REPEATED" in rec.comment
+        is_anchor_repeated = begin_kmer_repeated or end_kmer_repeated
+
+        filled: list[FilledInsertion] = []
+        target_dict = {target_seq: (breakpoint_name_r, False)}
+        infostring = [""]
+        extension_seq = [""]
+        self.gap_fill_from_source(
+            infostring, source_seq, target_seq, filled, target_dict,
+            is_anchor_repeated, False, extension_seq,
+        )
+
+        extension_seq_rev = [""]
+        if not self.fwd_only and len(filled) == 0:
+            target_seq2 = dna.revcomp(source_seq)
+            target_dict = {target_seq2: (breakpoint_name, False)}
+            source_seq2 = dna.revcomp(target_seq)
+            breakpoint_name = breakpoint_name_r
+            self.gap_fill_from_source(
+                infostring, source_seq2, target_seq2, filled, target_dict,
+                is_anchor_repeated, True, extension_seq_rev,
+            )
+        return (filled, breakpoint_name, infostring[0], source_seq, target_seq,
+                extension_seq[0], extension_seq_rev[0])
+
+    def _write_bkpt_result(self, result):
+        (filled, breakpoint_name, info, source_seq, target_seq, ext, ext_rev) = result
+        self.write_filled_breakpoint(filled, breakpoint_name, info)
+        self.write_vcf(filled, breakpoint_name, source_seq)
+        if len(filled) == 0 and self.extend:
+            self.write_extensions(ext, breakpoint_name, source_seq)
+            self.write_extensions(ext_rev, breakpoint_name + "_reverse", dna.revcomp(target_seq))
+        self.nb_breakpoints += 1
+
     def _fill_breakpoints(self):
+        pairs = []
         prev = None
         for rec in self.breakpoint_bank:
             if (rec.index & 1) == 0:
                 prev = rec
-                continue
-            source_seq = prev.seq
-            breakpoint_name = prev.comment_short
-            begin_kmer_repeated = "REPEATED" in prev.comment
-            target_seq = rec.seq
-            breakpoint_name_r = rec.comment_short
-            end_kmer_repeated = "REPEATED" in rec.comment
-            is_anchor_repeated = begin_kmer_repeated or end_kmer_repeated
+            else:
+                pairs.append((prev, rec))
+        for result in self._parallel_map(self._bkpt_job, pairs):
+            self._write_bkpt_result(result)
 
-            filled: list[FilledInsertion] = []
-            target_dict = {target_seq: (breakpoint_name_r, False)}
-            infostring = [""]
-            extension_seq = [""]
-            self.gap_fill_from_source(
-                infostring, source_seq, target_seq, filled, target_dict,
-                is_anchor_repeated, False, extension_seq,
-            )
+    # ------------------------------------------------------------------
+    # host-parallel dispatcher (the GATB Dispatcher equivalent, reference
+    # src/Filler.cpp:824,844): jobs fan out over a process pool, results are
+    # written back in input order — deterministic, unlike the reference's
+    # flockfile interleaving (its CI pins -nb-cores 1 for the same reason)
+    # ------------------------------------------------------------------
+    def _parallel_map(self, fn, jobs):
+        n_cores = self.nb_cores or (os.cpu_count() or 1)
+        if n_cores <= 1 or len(jobs) < 2:
+            for j in jobs:
+                yield fn(*j)
+            return
+        import multiprocessing as mp
 
-            extension_seq_rev = [""]
-            if not self.fwd_only and len(filled) == 0:
-                target_seq2 = dna.revcomp(source_seq)
-                target_dict = {target_seq2: (breakpoint_name, False)}
-                source_seq2 = dna.revcomp(target_seq)
-                breakpoint_name = breakpoint_name_r
-                self.gap_fill_from_source(
-                    infostring, source_seq2, target_seq2, filled, target_dict,
-                    is_anchor_repeated, True, extension_seq_rev,
+        global _PARALLEL_FILLER, _PARALLEL_METHOD
+        _PARALLEL_FILLER = self
+        _PARALLEL_METHOD = fn.__name__
+        ctx = mp.get_context("fork")  # workers inherit the graph copy-on-write
+        try:
+            with ctx.Pool(min(n_cores, len(jobs))) as pool:
+                results = pool.starmap(
+                    _parallel_worker, jobs,
+                    chunksize=max(1, len(jobs) // (4 * n_cores)),
                 )
-
-            self.write_filled_breakpoint(filled, breakpoint_name, infostring[0])
-            self.write_vcf(filled, breakpoint_name, source_seq)
-            if len(filled) == 0 and self.extend:
-                self.write_extensions(extension_seq[0], breakpoint_name, source_seq)
-                source_seq2 = dna.revcomp(target_seq)
-                self.write_extensions(extension_seq_rev[0], breakpoint_name + "_reverse", source_seq2)
-            self.nb_breakpoints += 1
+        finally:
+            _PARALLEL_FILLER = None
+        yield from results
 
     # ------------------------------------------------------------------
     # contig mode (fillAny contig branch + contigFunctor,
@@ -276,10 +327,12 @@ class Filler:
                 )
         seed_file.close()
 
-        for seed_name, seed_seq in seed_records:
-            self._contig_job(seed_name, seed_seq, all_target_dict)
+        self._all_target_dict = all_target_dict
+        for result in self._parallel_map(self._contig_job, seed_records):
+            self._write_contig_result(result)
 
-    def _contig_job(self, seed_name: str, source_seq: str, all_target_dict):
+    def _contig_job(self, seed_name: str, source_seq: str):
+        all_target_dict = self._all_target_dict
         is_rc = len(seed_name) >= 3 and seed_name.endswith("_Rc")
 
         conc_target = []
@@ -307,11 +360,14 @@ class Filler:
             if rev_target_name != seed_name:
                 kept.append(f)
         filled = kept
+        return filled, seed_name, source_seq, is_rc, infostring[0], extension_seq[0]
 
-        self.write_filled_breakpoint(filled, seed_name, infostring[0])
+    def _write_contig_result(self, result):
+        filled, seed_name, source_seq, is_rc, info, ext = result
+        self.write_filled_breakpoint(filled, seed_name, info)
         self.write_to_gfa(filled, source_seq, seed_name, is_rc)
         if len(filled) == 0 and self.extend:
-            self.write_extensions(extension_seq[0], seed_name, source_seq)
+            self.write_extensions(ext, seed_name, source_seq)
         self.nb_breakpoints += 1
 
     # ------------------------------------------------------------------
