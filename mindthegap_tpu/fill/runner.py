@@ -20,6 +20,7 @@ from ..graph import dbg
 from ..io.bank import Bank
 from ..ops import kmers as K
 from ..utils import dna, stdcompat
+from ..utils.progress import Progress
 from ..utils.properties import Properties
 from .contig_graph import ContigGraph
 from .traversal import GraphView, TraversalPolicy, construct_linear_seqs
@@ -150,6 +151,7 @@ class Filler:
         self.view = GraphView(self.graph)
 
         self.breakpoint_mode = has_bkpt
+        self.verbose = int(opts.get("verbose", 1))
         self.nb_cores = int(opts.get("nb-cores", 0))
         self.max_depth = int(opts.get("max-length", 10000))
         self.max_nodes = int(opts.get("max-nodes", 100))
@@ -259,8 +261,11 @@ class Filler:
                 prev = rec
             else:
                 pairs.append((prev, rec))
+        progress = Progress(len(pairs), "Filling the breakpoints", enabled=self.verbose > 0)
         for result in self._parallel_map(self._bkpt_job, pairs):
             self._write_bkpt_result(result)
+            progress.inc()
+        progress.finish()
 
     # ------------------------------------------------------------------
     # host-parallel dispatcher (the GATB Dispatcher equivalent, reference
@@ -328,8 +333,11 @@ class Filler:
         seed_file.close()
 
         self._all_target_dict = all_target_dict
+        progress = Progress(len(seed_records), "Filling the contigs", enabled=self.verbose > 0)
         for result in self._parallel_map(self._contig_job, seed_records):
             self._write_contig_result(result)
+            progress.inc()
+        progress.finish()
 
     def _contig_job(self, seed_name: str, source_seq: str):
         all_target_dict = self._all_target_dict

@@ -15,6 +15,7 @@ from .. import MTG_COMPAT_VERSION, KSIZE_STRING
 from ..graph import dbg
 from ..io.bank import Bank
 from ..utils import dna
+from ..utils.progress import Progress
 from ..utils.properties import Properties
 from . import scan
 from .automaton import ScanContext
@@ -165,13 +166,20 @@ def run_find(opts: dict, out=None) -> Properties:
         if hete_insert:
             ctx.add_kmer_observer(O.FindHeteroInsertion(ctx))
 
-        for rec in Bank.open(ref_uri):
+        refbank = Bank.open(ref_uri)
+        verbose = int(opts.get("verbose", 1))
+        progress = Progress(
+            refbank.estimate_sequences_size(), "Finding breakpoints", enabled=verbose > 0
+        )
+        for rec in refbank:
             codes = dna.seq_to_codes(rec.seq)
             planes = scan.compute_planes(codes, k, graph.solid.kmers, repeat_set.kmers)
             bed_intervals = None
             if bed_file:
                 bed_intervals = parse_bed_for_chrom(bed_file, rec.comment_short, k)
             ctx.scan_sequence(rec.comment_short, rec.seq, planes, bed_intervals)
+            progress.inc(len(rec.seq))
+        progress.finish()
 
     seconds = time.time() - t0
     info = _resume(opts, graph, ctx, k, seconds, breakpoint_name, vcf_name,
