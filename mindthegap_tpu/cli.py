@@ -46,6 +46,7 @@ FIND_OPTIONS = {
     "max-memory": (True, "2000", "max memory for graph building (in MBytes)", True),
     "verbose": (True, "1", "verbosity level", True),
     "scan-engine": (True, "auto", "reference-scan engine: auto | host | device", False),
+    "automaton": (True, "auto", "breakpoint automaton: auto | native | host", False),
 }
 
 FILL_OPTIONS = {

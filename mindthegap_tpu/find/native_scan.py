@@ -1,0 +1,139 @@
+"""ctypes bridge to the native find-scan automaton (native/automaton.cpp).
+
+The C++ scanner consumes the per-position planes at native speed and emits
+the exact .breakpoints / .othervariants.vcf record text the python automaton
+would produce (differential-tested in tests/test_native_automaton.py).
+k <= 32 only; larger spans use the python path."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native"
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libmtgautomaton.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "automaton.cpp")
+
+_lib = None
+_lib_failed = False
+
+
+def _load():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    try:
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC_PATH],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.scanner_create.restype = ctypes.c_void_p
+        lib.scanner_create.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
+            ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.scanner_scan_sequence.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.scanner_bkpt_size.restype = ctypes.c_int64
+        lib.scanner_bkpt_size.argtypes = [ctypes.c_void_p]
+        lib.scanner_vcf_size.restype = ctypes.c_int64
+        lib.scanner_vcf_size.argtypes = [ctypes.c_void_p]
+        lib.scanner_bkpt.restype = ctypes.c_void_p
+        lib.scanner_bkpt.argtypes = [ctypes.c_void_p]
+        lib.scanner_vcf.restype = ctypes.c_void_p
+        lib.scanner_vcf.argtypes = [ctypes.c_void_p]
+        lib.scanner_stats.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong)]
+        lib.scanner_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    except Exception:
+        _lib_failed = True
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+STAT_NAMES = [
+    "homo_clean", "homo_fuzzy", "hetero_clean", "hetero_fuzzy",
+    "fuzzy_deletion", "clean_deletion", "solo_snp", "multi_snp",
+    "backup", "homo_clean_indel", "homo_fuzzy_indel", "hetero_indel",
+]
+
+
+class NativeScanner:
+    """Holds the scanner across sequences (breakpoint ids and counters are
+    run-global, like the reference Tool)."""
+
+    def __init__(self, graph, repeat_set, k, *, max_repeat, snp_min_val,
+                 branching_threshold, homo_only, snp, deletion, small_homo,
+                 homo_insert, backup, hete_insert):
+        lib = _load()
+        assert lib is not None and k <= 32
+        self._lib = lib
+        self._solid = np.ascontiguousarray(graph.solid.keys, dtype=np.uint64)
+        self._repeat = np.ascontiguousarray(repeat_set.keys, dtype=np.uint64)
+        self._h = lib.scanner_create(
+            k, max_repeat, snp_min_val, branching_threshold,
+            int(homo_only), int(snp), int(deletion), int(small_homo),
+            int(homo_insert), int(backup), int(hete_insert),
+            self._solid.ctypes.data_as(ctypes.c_void_p), self._solid.size,
+            self._repeat.ctypes.data_as(ctypes.c_void_p), self._repeat.size,
+        )
+
+    def scan_sequence(self, name: str, seq: str, planes, bed_intervals=None):
+        valid = np.ascontiguousarray(planes.valid, dtype=np.uint8)
+        fwd = np.ascontiguousarray(planes.fwd, dtype=np.uint64)
+        contains = np.ascontiguousarray(planes.contains, dtype=np.uint8)
+        nb_in = np.ascontiguousarray(planes.nb_in, dtype=np.int32)
+        nb_out = np.ascontiguousarray(planes.nb_out, dtype=np.int32)
+        suffix_rep = np.ascontiguousarray(planes.suffix_rep, dtype=np.uint8)
+        prefix_rep = np.ascontiguousarray(planes.prefix_rep, dtype=np.uint8)
+        if bed_intervals is None:
+            bed = None
+            n_bed = -1
+        else:
+            flat = [x for iv in bed_intervals for x in iv]
+            bed = np.ascontiguousarray(flat, dtype=np.int64) if flat else np.zeros(0, np.int64)
+            n_bed = len(flat)
+        seq_b = seq.encode("ascii")
+        self._lib.scanner_scan_sequence(
+            self._h, name.encode(), seq_b, len(seq_b), valid.size,
+            valid.ctypes.data_as(ctypes.c_void_p),
+            fwd.ctypes.data_as(ctypes.c_void_p),
+            contains.ctypes.data_as(ctypes.c_void_p),
+            nb_in.ctypes.data_as(ctypes.c_void_p),
+            nb_out.ctypes.data_as(ctypes.c_void_p),
+            suffix_rep.ctypes.data_as(ctypes.c_void_p),
+            prefix_rep.ctypes.data_as(ctypes.c_void_p),
+            bed.ctypes.data_as(ctypes.c_void_p) if bed is not None and bed.size else None,
+            n_bed,
+        )
+
+    def results(self):
+        lib = self._lib
+        bkpt = ctypes.string_at(lib.scanner_bkpt(self._h), lib.scanner_bkpt_size(self._h)).decode()
+        vcf = ctypes.string_at(lib.scanner_vcf(self._h), lib.scanner_vcf_size(self._h)).decode()
+        stats_arr = (ctypes.c_longlong * 12)()
+        lib.scanner_stats(self._h, stats_arr)
+        stats = dict(zip(STAT_NAMES, list(stats_arr)))
+        return bkpt, vcf, stats
+
+    def close(self):
+        if self._h:
+            self._lib.scanner_free(self._h)
+            self._h = None

@@ -28,6 +28,11 @@ class FinderError(Exception):
     pass
 
 
+class _StatsHolder:
+    def __init__(self, stats):
+        self.stats = stats
+
+
 def default_output_prefix() -> str:
     return "MindTheGap_Expe-" + time.strftime("%Y-%m-%d.%I:%M")
 
@@ -74,6 +79,10 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
     if engine == "host" or k > 32:
         return host_fn
     if engine == "auto":
+        # the device path pays a table build + XLA compile; only worth it on
+        # genome-scale runs with an accelerator attached
+        if len(graph.solid) < (1 << 21):
+            return host_fn
         try:
             import jax
 
@@ -218,33 +227,45 @@ def run_find(opts: dict, out=None) -> Properties:
     ref_uri = opts["ref"]
     repeat_set = dbg.build_repeat_set(ref_uri, k - 1, het_max_occ + 1)
 
+    from . import native_scan
+
+    automaton = opts.get("automaton", "auto")
+    use_native = (
+        automaton in ("auto", "native") and k <= 32 and native_scan.available()
+    )
+
     with open(breakpoint_name, "w") as bkpt_f, open(vcf_name, "w") as vcf_f:
         _write_vcf_header(vcf_f, opts)
 
-        ctx = ScanContext(
-            graph, repeat_set, k, bkpt_f, vcf_f,
-            max_repeat=max_repeat,
-            snp_min_val=snp_min_val,
-            branching_threshold=branching_threshold,
-            homo_only=homo_only,
+        flags = dict(
+            max_repeat=max_repeat, snp_min_val=snp_min_val,
+            branching_threshold=branching_threshold, homo_only=homo_only,
         )
-        # registration order = priority (src/Finder.cpp:548-582)
-        if snp:
-            ctx.add_gap_observer(O.FindSoloSNP(ctx))
-            ctx.add_gap_observer(O.FindMultiSNP(ctx))
-            ctx.add_gap_observer(O.FindMultiSNPrev(ctx))
-        if deletion:
-            ctx.add_gap_observer(O.FindDeletion(ctx))
-        if small_homo:
-            ctx.add_gap_observer(O.FindSmallCleanInsertion(ctx))
-            ctx.add_gap_observer(O.FindSmallFuzzyInsertion(ctx))
-        if homo_insert:
-            ctx.add_gap_observer(O.FindCleanInsertion(ctx))
-            ctx.add_gap_observer(O.FindFuzzyInsertion(ctx))
-        if backup:
-            ctx.add_gap_observer(O.FindBackup(ctx))
-        if hete_insert:
-            ctx.add_kmer_observer(O.FindHeteroInsertion(ctx))
+        if use_native:
+            ctx = native_scan.NativeScanner(
+                graph, repeat_set, k, **flags,
+                snp=snp, deletion=deletion, small_homo=small_homo,
+                homo_insert=homo_insert, backup=backup, hete_insert=hete_insert,
+            )
+        else:
+            ctx = ScanContext(graph, repeat_set, k, bkpt_f, vcf_f, **flags)
+            # registration order = priority (src/Finder.cpp:548-582)
+            if snp:
+                ctx.add_gap_observer(O.FindSoloSNP(ctx))
+                ctx.add_gap_observer(O.FindMultiSNP(ctx))
+                ctx.add_gap_observer(O.FindMultiSNPrev(ctx))
+            if deletion:
+                ctx.add_gap_observer(O.FindDeletion(ctx))
+            if small_homo:
+                ctx.add_gap_observer(O.FindSmallCleanInsertion(ctx))
+                ctx.add_gap_observer(O.FindSmallFuzzyInsertion(ctx))
+            if homo_insert:
+                ctx.add_gap_observer(O.FindCleanInsertion(ctx))
+                ctx.add_gap_observer(O.FindFuzzyInsertion(ctx))
+            if backup:
+                ctx.add_gap_observer(O.FindBackup(ctx))
+            if hete_insert:
+                ctx.add_kmer_observer(O.FindHeteroInsertion(ctx))
 
         refbank = Bank.open(ref_uri)
         verbose = int(opts.get("verbose", 1))
@@ -261,6 +282,16 @@ def run_find(opts: dict, out=None) -> Properties:
             ctx.scan_sequence(rec.comment_short, rec.seq, planes, bed_intervals)
             progress.inc(len(rec.seq))
         progress.finish()
+
+        if use_native:
+            bkpt_text, vcf_text, native_stats = ctx.results()
+            bkpt_f.write(bkpt_text)
+            vcf_f.write(vcf_text)
+            ctx.close()
+            from .automaton import FindStats
+
+            stats = FindStats(**native_stats)
+            ctx = _StatsHolder(stats)
 
     seconds = time.time() - t0
     info = _resume(opts, graph, ctx, k, seconds, breakpoint_name, vcf_name,

@@ -1,0 +1,873 @@
+// Native find-scan automaton: the sequential breakpoint state machine.
+//
+// Port of mindthegap_tpu/find/automaton.py + observers.py (which are the
+// gate-verified reimplementation of the reference's FindBreakpoints scanner,
+// reference src/FindBreakpoints.hpp + src/Find*.hpp). The device pass
+// produces per-position planes; this consumes them at native speed —
+// the python replay is the host bottleneck on genome-scale inputs.
+// k <= 32 only (kmers in uint64); larger spans use the python path.
+//
+// The output is the exact text of the .breakpoints and .othervariants.vcf
+// record streams (headers excluded) plus the counters; python writes files.
+//
+// Build: g++ -O2 -shared -fPIC -o libmtgautomaton.so automaton.cpp
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <string>
+#include <vector>
+
+namespace {
+
+typedef uint64_t u64;
+
+struct Params
+{
+    int k;
+    int max_repeat;
+    int snp_min_val;
+    int branching_threshold;
+    uint8_t homo_only;
+    uint8_t snp, deletion, small_homo, homo_insert, backup, hete_insert;
+};
+
+struct Info
+{
+    u64 kmer = 0;
+    int nb_in = 0;
+    int nb_out = 0;
+    bool is_repeated = false;
+};
+
+struct Stats
+{
+    long long homo_clean = 0, homo_fuzzy = 0, hetero_clean = 0, hetero_fuzzy = 0;
+    long long fuzzy_deletion = 0, clean_deletion = 0, solo_snp = 0, multi_snp = 0;
+    long long backup = 0, homo_clean_indel = 0, homo_fuzzy_indel = 0, hetero_indel = 0;
+};
+
+u64 revcomp64(u64 x, int k)
+{
+    x = x ^ 0xAAAAAAAAAAAAAAAAULL;
+    x = ((x >> 2) & 0x3333333333333333ULL) | ((x & 0x3333333333333333ULL) << 2);
+    x = ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((x & 0x0F0F0F0F0F0F0F0FULL) << 4);
+    x = ((x >> 8) & 0x00FF00FF00FF00FFULL) | ((x & 0x00FF00FF00FF00FFULL) << 8);
+    x = ((x >> 16) & 0x0000FFFF0000FFFFULL) | ((x & 0x0000FFFF0000FFFFULL) << 16);
+    x = (x >> 32) | (x << 32);
+    return x >> (64 - 2 * k);
+}
+
+const char NUC[5] = "ACTG";  // A=0 C=1 T=2 G=3
+
+struct Scanner
+{
+    Params P;
+    const u64* solid;
+    int64_t n_solid;
+    const u64* repeat;
+    int64_t n_repeat;
+
+    // planes for the current sequence
+    const uint8_t* valid;
+    const u64* fwd;
+    const uint8_t* contains_p;
+    const int32_t* nb_in_p;
+    const int32_t* nb_out_p;
+    const uint8_t* suffix_rep_p;
+    const uint8_t* prefix_rep_p;
+    const char* chrom_seq;
+    int64_t chrom_len;
+    std::string chrom_name;
+
+    // outputs
+    std::string bkpt_out;
+    std::string vcf_out;
+    Stats stats;
+
+    // scanner state
+    long long breakpoint_id = 1;
+    u64 position = 0;
+    bool kmer_begin_valid = false, kmer_end_valid = false;
+    u64 kmer_begin_fwd = 0, kmer_end_fwd = 0;
+    bool previous_valid = false;
+    u64 previous_fwd = 0;
+    u64 solid_stretch_size = 0, gap_stretch_size = 0;
+    Info history[256];
+    uint8_t het_begin_index = 0, het_end_index = 0;
+    Info current_info;
+    int recent_hetero = 0;
+    bool kmer_end_is_repeated = false, kmer_begin_is_repeated = false;
+    int64_t plane_idx = 0;
+
+    // ------- point queries ------------------------------------------------
+    bool member(const u64* arr, int64_t n, u64 key) const
+    {
+        int64_t lo = 0, hi = n;
+        while (lo < hi)
+        {
+            int64_t mid = (lo + hi) >> 1;
+            if (arr[mid] < key) lo = mid + 1; else hi = mid;
+        }
+        return lo < n && arr[lo] == key;
+    }
+    u64 canon(u64 kmer) const
+    {
+        u64 rc = revcomp64(kmer, P.k);
+        return kmer < rc ? kmer : rc;
+    }
+    bool contains(u64 kmer) const { return member(solid, n_solid, canon(kmer)); }
+    int nb_out_branch(u64 kmer) const
+    {
+        u64 mask = (P.k == 32) ? ~0ULL : ((1ULL << (2 * P.k)) - 1);
+        int d = 0;
+        for (int x = 0; x < 4; x++) d += contains(((kmer << 2) | (u64)x) & mask);
+        return d;
+    }
+    int nb_in_branch(u64 kmer) const
+    {
+        int d = 0;
+        for (int x = 0; x < 4; x++) d += contains((kmer >> 2) | ((u64)x << (2 * (P.k - 1))));
+        return d;
+    }
+    bool suffix_is_repeated(u64 kmer) const
+    {
+        int km1 = P.k - 1;
+        u64 suffix = kmer & ((1ULL << (2 * km1)) - 1);
+        u64 rc = revcomp64(suffix << 2, P.k) >> 2;  // revcomp of km1-mer
+        // careful: compute rc of the (k-1)-mer directly
+        u64 r = 0;
+        {
+            u64 x = suffix ^ 0xAAAAAAAAAAAAAAAAULL;
+            x = ((x >> 2) & 0x3333333333333333ULL) | ((x & 0x3333333333333333ULL) << 2);
+            x = ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((x & 0x0F0F0F0F0F0F0F0FULL) << 4);
+            x = ((x >> 8) & 0x00FF00FF00FF00FFULL) | ((x & 0x00FF00FF00FF00FFULL) << 8);
+            x = ((x >> 16) & 0x0000FFFF0000FFFFULL) | ((x & 0x0000FFFF0000FFFFULL) << 16);
+            x = (x >> 32) | (x << 32);
+            r = x >> (64 - 2 * km1);
+        }
+        (void)rc;
+        u64 c = suffix < r ? suffix : r;
+        return member(repeat, n_repeat, c);
+    }
+
+    std::string to_string(u64 kmer) const
+    {
+        std::string s(P.k, 'A');
+        for (int i = 0; i < P.k; i++) s[i] = NUC[(kmer >> (2 * (P.k - 1 - i))) & 3];
+        return s;
+    }
+    static bool str_to_kmer(const char* s, int k, u64* out)
+    {
+        u64 v = 0;
+        for (int i = 0; i < k; i++)
+        {
+            int c;
+            switch (s[i])
+            {
+                case 'A': case 'a': c = 0; break;
+                case 'C': case 'c': c = 1; break;
+                case 'T': case 't': c = 2; break;
+                case 'G': case 'g': c = 3; break;
+                default: return false;
+            }
+            v = (v << 2) | (u64)c;
+        }
+        *out = v;
+        return true;
+    }
+    bool code_seed_valid(int64_t offset) const
+    {
+        if (offset < 0 || offset + P.k > chrom_len) return false;
+        u64 tmp;
+        return str_to_kmer(chrom_seq + offset, P.k, &tmp);
+    }
+    int count_leading_contained(const std::string& seq) const
+    {
+        int c = 0;
+        int n = (int)seq.size() - P.k + 1;
+        for (int i = 0; i < n; i++)
+        {
+            u64 km;
+            if (!str_to_kmer(seq.c_str() + i, P.k, &km)) return c;  // non-ACGT never contained
+            if (!contains(km)) return c;
+            c++;
+        }
+        return c;
+    }
+    bool seq_all_contained(const std::string& seq) const
+    {
+        int n = (int)seq.size() - P.k + 1;
+        return count_leading_contained(seq) == n;
+    }
+
+    // ------- writers (formats from the python automaton) ------------------
+    void write_breakpoint(long long id, const std::string& chrom, u64 pos, const std::string& kb,
+                          const std::string& ke, int repeat_size, const char* type,
+                          bool rep_begin, bool rep_end)
+    {
+        char buf[512];
+        snprintf(buf, sizeof(buf), ">bkpt%lld_%s_pos_%llu_fuzzy_%i_%s %s left_kmer\n",
+                 id, chrom.c_str(), (unsigned long long)(pos + 1), repeat_size, type,
+                 rep_begin ? "REPEATED" : "");
+        bkpt_out += buf;
+        bkpt_out += kb;
+        bkpt_out += '\n';
+        snprintf(buf, sizeof(buf), ">bkpt%lld_%s_pos_%llu_fuzzy_%i_%s %s right_kmer\n",
+                 id, chrom.c_str(), (unsigned long long)(pos + 1), repeat_size, type,
+                 rep_end ? "REPEATED" : "");
+        bkpt_out += buf;
+        bkpt_out += ke;
+        bkpt_out += '\n';
+    }
+    void write_vcf_variant(long long id, const std::string& chrom, u64 pos, const std::string& ref,
+                           const std::string& alt, int repeat_size, const char* type)
+    {
+        int variant_size = 1;
+        if (strcmp(type, "DEL") == 0) variant_size = (int)ref.size() - 1;
+        char buf[256];
+        vcf_out += chrom;
+        snprintf(buf, sizeof(buf), "\t%llu\tbkpt%lld\t", (unsigned long long)(pos + 1), id);
+        vcf_out += buf;
+        vcf_out += ref;
+        vcf_out += '\t';
+        vcf_out += alt;
+        snprintf(buf, sizeof(buf), "\t.\tPASS\tTYPE=%s;LEN=%i;FUZZY=%i\tGT\t1/1\n",
+                 type, variant_size, repeat_size);
+        vcf_out += buf;
+    }
+    void write_indel(long long id, const std::string& chrom, u64 pos, const std::string& ref,
+                     const std::string& alt, int repeat_size, const char* type)
+    {
+        int variant_size = (int)alt.size() - 1;
+        const char* gt = strcmp(type, "HOM") == 0 ? "1/1" : (strcmp(type, "HET") == 0 ? "0/1" : "./.");
+        char buf[256];
+        vcf_out += chrom;
+        snprintf(buf, sizeof(buf), "\t%llu\tbkpt%lld\t", (unsigned long long)(pos + 1), id);
+        vcf_out += buf;
+        vcf_out += ref;
+        vcf_out += '\t';
+        vcf_out += alt;
+        snprintf(buf, sizeof(buf), "\t.\tPASS\tTYPE=INS;LEN=%i;FUZZY=%i\tGT\t%s\n",
+                 variant_size, repeat_size, gt);
+        vcf_out += buf;
+    }
+
+    // ------- SNP machinery -------------------------------------------------
+    u64 mutate_kmer(u64 kmer, u64 nuc, int pos) const
+    {
+        int p = P.k - pos;
+        u64 mask = (P.k == 32) ? ~0ULL : ((1ULL << (2 * P.k)) - 1);
+        u64 reset = ~(3ULL << (2 * p)) & mask;
+        return (kmer & reset) | (nuc << (2 * p));
+    }
+
+    bool snp_at_end(uint8_t* beginpos, int limit, u64* ret_nuc, u64* ref_nuc, int* nb_val)
+    {
+        std::map<u64, int> nuc = {{0, 0}, {1, 0}, {2, 0}, {3, 0}};
+        uint8_t beginpos_init = *beginpos;
+        *ref_nuc = history[*beginpos].kmer & 3;
+        nuc.erase(*ref_nuc);
+        bool end = false;
+        for (int j = 0; !end && j != P.k; (*beginpos)++, j++)
+        {
+            for (auto it = nuc.begin(); it != nuc.end();)
+            {
+                u64 correct = mutate_kmer(history[*beginpos].kmer, it->first, P.k - j);
+                if (contains(correct)) { it->second++; ++it; }
+                else
+                {
+                    if (nuc.size() == 1) { end = true; (*beginpos)--; break; }
+                    it = nuc.erase(it);
+                }
+            }
+        }
+        u64 best = nuc.begin()->first;
+        for (auto& kv : nuc) if (kv.second > nuc[best]) best = kv.first;
+        if (nuc[best] >= limit) { *ret_nuc = best; *nb_val = nuc[best]; return true; }
+        *beginpos = beginpos_init;
+        *nb_val = 0;
+        return false;
+    }
+
+    bool snp_at_begin(uint8_t* beginpos, int limit, u64* ret_nuc, u64* ref_nuc, int* nb_val)
+    {
+        std::map<u64, int> nuc = {{0, 0}, {1, 0}, {2, 0}, {3, 0}};
+        uint8_t beginpos_init = *beginpos;
+        *ref_nuc = (history[*beginpos].kmer >> (2 * (P.k - 1))) & 3;
+        nuc.erase(*ref_nuc);
+        bool end = false;
+        for (int j = 0; !end && j != P.k; (*beginpos)--, j++)
+        {
+            for (auto it = nuc.begin(); it != nuc.end();)
+            {
+                u64 correct = mutate_kmer(history[*beginpos].kmer, it->first, j + 1);
+                if (contains(correct)) { it->second++; ++it; }
+                else
+                {
+                    if (nuc.size() == 1) { end = true; (*beginpos)++; break; }
+                    it = nuc.erase(it);
+                }
+            }
+        }
+        u64 best = nuc.begin()->first;
+        for (auto& kv : nuc) if (kv.second > nuc[best]) best = kv.first;
+        if (nuc[best] >= limit) { *ret_nuc = best; *nb_val = nuc[best]; return true; }
+        *beginpos = beginpos_init;
+        *nb_val = 0;
+        return false;
+    }
+
+    void correct_history(uint8_t pos, u64 nuc)
+    {
+        for (int i = 0; i != P.k; i++)
+        {
+            uint8_t index = (uint8_t)(i + pos);
+            u64 mutated = mutate_kmer(history[index].kmer, nuc, P.k - i);
+            history[index].kmer = mutated;
+            if (contains(mutated))
+            {
+                history[index].nb_in = nb_in_branch(mutated);
+                history[index].nb_out = nb_out_branch(mutated);
+                history[index].is_repeated = suffix_is_repeated(mutated);
+            }
+        }
+    }
+
+    // ------- observers -----------------------------------------------------
+    bool obs_solo_snp()
+    {
+        if (!(kmer_begin_valid && kmer_end_valid)) return false;
+        if (gap_stretch_size == (u64)P.k)
+        {
+            uint8_t pos = (uint8_t)(het_begin_index - 1);
+            uint8_t save_index = pos;
+            u64 nuc, ref_nuc;
+            int nb;
+            if (snp_at_end(&pos, P.k, &nuc, &ref_nuc, &nb))
+            {
+                correct_history(save_index, nuc);
+                write_vcf_variant(breakpoint_id, chrom_name, position - 2,
+                                  std::string(1, NUC[ref_nuc]), std::string(1, NUC[nuc]), 0, "SNP");
+                breakpoint_id++;
+                stats.solo_snp++;
+                return true;
+            }
+        }
+        return false;
+    }
+
+    bool obs_multi_snp()
+    {
+        if (!(kmer_begin_valid && kmer_end_valid)) return false;
+        int kt = P.snp_min_val;
+        if (gap_stretch_size > (u64)(P.k + kt))
+        {
+            u64 begin_pos = position - 1 - gap_stretch_size + P.k - 1;
+            u64 begin_pos_init = begin_pos;
+            uint8_t index_end = (uint8_t)(het_begin_index + P.k - 1);
+            uint8_t index_pos = (uint8_t)(index_end - gap_stretch_size);
+            while (index_pos != index_end)
+            {
+                uint8_t save_index = index_pos;
+                u64 nuc, ref_nuc;
+                int nb_val;
+                if (snp_at_end(&index_pos, kt, &nuc, &ref_nuc, &nb_val))
+                {
+                    if (begin_pos + (u64)nb_val - begin_pos_init > gap_stretch_size) break;
+                    correct_history(save_index, nuc);
+                    write_vcf_variant(breakpoint_id, chrom_name, begin_pos,
+                                      std::string(1, NUC[ref_nuc]), std::string(1, NUC[nuc]), 0, "SNP");
+                    breakpoint_id++;
+                    stats.multi_snp++;
+                    begin_pos += (u64)nb_val;
+                }
+                else break;
+            }
+            u64 nb_correct = begin_pos - begin_pos_init;
+            if (nb_correct == 0) return false;
+            if (nb_correct != gap_stretch_size)
+            {
+                gap_stretch_size -= nb_correct;
+                solid_stretch_size += nb_correct;
+                kmer_begin_fwd = history[(uint8_t)(index_pos - 1)].kmer;
+                kmer_begin_valid = true;
+                return false;
+            }
+            return true;
+        }
+        return false;
+    }
+
+    bool obs_multi_snp_rev()
+    {
+        if (!(kmer_begin_valid && kmer_end_valid)) return false;
+        int kt = P.snp_min_val;
+        if (gap_stretch_size > (u64)(P.k + kt))
+        {
+            u64 begin_pos = position - 2;
+            u64 begin_pos_init = begin_pos;
+            uint8_t index_limit = (uint8_t)(het_end_index - 2 - gap_stretch_size);
+            uint8_t index_pos = (uint8_t)(het_end_index - 2);
+            while (index_pos != index_limit)
+            {
+                uint8_t save_index = index_pos;
+                u64 nuc, ref_nuc;
+                int nb_val;
+                if (snp_at_begin(&index_pos, kt, &nuc, &ref_nuc, &nb_val))
+                {
+                    if (begin_pos_init - (begin_pos - (u64)nb_val) > gap_stretch_size) break;
+                    correct_history((uint8_t)(save_index - (P.k - 1)), nuc);
+                    write_vcf_variant(breakpoint_id, chrom_name, begin_pos,
+                                      std::string(1, NUC[ref_nuc]), std::string(1, NUC[nuc]), 0, "SNP");
+                    breakpoint_id++;
+                    stats.multi_snp++;
+                    begin_pos -= (u64)nb_val;
+                }
+                else break;
+            }
+            u64 nb_correct = begin_pos_init - begin_pos;
+            if (nb_correct == 0) return false;
+            if (nb_correct != gap_stretch_size)
+            {
+                position -= nb_correct;
+                het_end_index = (uint8_t)(het_end_index - nb_correct);
+                het_begin_index = (uint8_t)(het_begin_index - nb_correct);
+                gap_stretch_size -= nb_correct;
+                kmer_end_fwd = history[(uint8_t)(index_pos + 1)].kmer;
+                kmer_end_valid = true;
+                return false;
+            }
+            return true;
+        }
+        return false;
+    }
+
+    unsigned fuzzy_site(const std::string& begin, const std::string& end) const
+    {
+        for (unsigned i = P.max_repeat; i != 0; i--)
+            for (unsigned j = 1;; j++)
+            {
+                size_t blen = begin.size();
+                std::string bs = begin.substr(blen - i, j);  // clamps like C++ substr
+                std::string es = end.substr(0, j);
+                if (bs != es) break;
+                if (i == j) return j;
+            }
+        return 0;
+    }
+
+    bool obs_deletion()
+    {
+        if (!(kmer_begin_valid && kmer_end_valid)) return false;
+        if (gap_stretch_size < (u64)(P.k - P.max_repeat)) return false;
+        std::string begin = to_string(kmer_begin_fwd);
+        std::string end = to_string(kmer_end_fwd);
+        unsigned repeat_size = fuzzy_site(begin, end);
+        if (repeat_size > (unsigned)P.max_repeat) return false;
+        if (repeat_size != 0) begin = begin.substr(0, begin.size() - repeat_size);
+        int del_size = (int)gap_stretch_size - P.k + (int)repeat_size + 1;
+        std::string seq = begin + end;
+        bool is_deletion = seq_all_contained(seq);
+        if (!is_deletion)
+        {
+            if (repeat_size == 0) return false;
+            seq = to_string(kmer_begin_fwd) + end;
+            if (!seq_all_contained(seq)) return false;
+            del_size -= (int)repeat_size;
+            repeat_size = 0;
+        }
+        if (del_size <= 0) return false;
+        u64 del_start_pos = position - 2 - (u64)del_size;
+        // mirror the python slice semantics on out-of-range starts
+        std::string del_sequence =
+            (del_start_pos + (u64)del_size + 1 <= (u64)chrom_len)
+                ? std::string(chrom_seq + del_start_pos, (size_t)(del_size + 1))
+                : std::string();
+        std::string alt = del_sequence.substr(0, del_sequence.empty() ? 0 : 1);
+        write_vcf_variant(breakpoint_id, chrom_name, del_start_pos, del_sequence, alt,
+                          (int)repeat_size, "DEL");
+        breakpoint_id++;
+        if (repeat_size != 0) stats.fuzzy_deletion++; else stats.clean_deletion++;
+        return true;
+    }
+
+    // 1-2bp micro insertions (src/FindSmallInsertion.hpp candidate list)
+    bool micro_assembly(const std::string& kb, const std::string& ke, const std::string& ref,
+                        std::string* alt) const
+    {
+        static const char* NUCLEO[20] = {"A","C","G","T","AA","AC","AG","AT","CA","CC","CG","CT",
+                                         "GA","GC","GG","GT","TA","TC","TG","TT"};
+        for (int i = 0; i < 20; i++)
+        {
+            std::string seq = kb + NUCLEO[i] + ke;
+            if (count_leading_contained(seq) >= P.k)
+            {
+                *alt = ref + NUCLEO[i];
+                return true;
+            }
+        }
+        return false;
+    }
+
+    bool obs_small_clean()
+    {
+        if (!(kmer_begin_valid && kmer_end_valid)) return false;
+        if (gap_stretch_size == (u64)(P.k - 1))
+        {
+            std::string kb = to_string(kmer_begin_fwd);
+            std::string ke = to_string(kmer_end_fwd);
+            std::string ref = kb.substr(kb.size() - 1, 1);
+            std::string alt;
+            if (!micro_assembly(kb, ke, ref, &alt)) return false;
+            write_indel(breakpoint_id, chrom_name, position - 2, ref, alt, 0, "HOM");
+            stats.homo_clean_indel++;
+            breakpoint_id++;
+            return true;
+        }
+        return false;
+    }
+
+    bool obs_small_fuzzy()
+    {
+        if (!(kmer_begin_valid && kmer_end_valid)) return false;
+        if (gap_stretch_size < (u64)(P.k - 1) &&
+            gap_stretch_size >= (u64)(P.k - 1 - P.max_repeat))
+        {
+            int repeat_size = P.k - 1 - (int)gap_stretch_size;
+            std::string kb = to_string(kmer_begin_fwd);
+            int64_t off = (int64_t)position - 1 + repeat_size;
+            if (nb_out_branch(kmer_begin_fwd) == 0 || nb_in_branch(kmer_end_fwd) == 0 ||
+                !code_seed_valid(off))
+                return false;
+            std::string ke(chrom_seq + off, (size_t)P.k);
+            std::string ref = kb.substr(kb.size() - 1 - repeat_size, 1);
+            std::string alt;
+            if (!micro_assembly(kb, ke, ref, &alt)) return false;
+            write_indel(breakpoint_id, chrom_name, position - 2, ref, alt, repeat_size, "HOM");
+            stats.homo_clean_indel++;
+            breakpoint_id++;
+            return true;
+        }
+        return false;
+    }
+
+    bool obs_clean_insertion()
+    {
+        if (!(kmer_begin_valid && kmer_end_valid)) return false;
+        if (gap_stretch_size == (u64)(P.k - 1))
+        {
+            std::string kb = to_string(kmer_begin_fwd);
+            std::string ke = to_string(kmer_end_fwd);
+            if (nb_out_branch(kmer_begin_fwd) == 0 || nb_in_branch(kmer_end_fwd) == 0) return false;
+            write_breakpoint(breakpoint_id, chrom_name, position - 2, kb, ke, 0, "HOM",
+                             kmer_begin_is_repeated, kmer_end_is_repeated);
+            breakpoint_id++;
+            stats.homo_clean++;
+            return true;
+        }
+        return false;
+    }
+
+    bool obs_fuzzy_insertion()
+    {
+        if (!(kmer_begin_valid && kmer_end_valid)) return false;
+        if (gap_stretch_size < (u64)(P.k - 1) &&
+            gap_stretch_size >= (u64)(P.k - 1 - P.max_repeat))
+        {
+            int repeat_size = P.k - 1 - (int)gap_stretch_size;
+            std::string kb = to_string(kmer_begin_fwd);
+            int64_t off = (int64_t)position - 1 + repeat_size;
+            if (nb_out_branch(kmer_begin_fwd) == 0 || nb_in_branch(kmer_end_fwd) == 0 ||
+                !code_seed_valid(off))
+                return false;
+            std::string ke(chrom_seq + off, (size_t)P.k);
+            write_breakpoint(breakpoint_id, chrom_name, position - 2 + repeat_size, kb, ke,
+                             repeat_size, "HOM", kmer_begin_is_repeated, kmer_end_is_repeated);
+            breakpoint_id++;
+            stats.homo_fuzzy++;
+            return true;
+        }
+        return false;
+    }
+
+    bool obs_backup()
+    {
+        if (!(kmer_begin_valid && kmer_end_valid)) return false;
+        if (gap_stretch_size > (u64)(P.k / 2))
+        {
+            std::string kb = to_string(kmer_begin_fwd);
+            std::string ke = to_string(kmer_end_fwd);
+            std::string chrom_bak = chrom_name + "_backup";
+            write_breakpoint(breakpoint_id, chrom_bak, position - 1, kb, ke, 0, "BACKUP",
+                             false, false);
+            breakpoint_id++;
+            stats.backup++;
+            return true;
+        }
+        return false;
+    }
+
+    bool obs_hetero()
+    {
+        if (P.homo_only) return false;
+        int branching_threshold = P.branching_threshold;
+        int max_branching = branching_threshold;
+        bool filtering = true;
+        if (branching_threshold < 0) { filtering = false; max_branching = 100; }
+        const int filter_window = 100;
+
+        if (!kmer_end_is_repeated && current_info.nb_in == 2 && !recent_hetero)
+        {
+            for (int i = 0; i <= P.max_repeat; i++)
+            {
+                Info& hist_i = history[(uint8_t)(het_begin_index + i)];
+                if (hist_i.nb_out == 2 && !hist_i.is_repeated)
+                {
+                    std::string kb = to_string(hist_i.kmer);
+                    int64_t off = (int64_t)position + i;
+                    if (!code_seed_valid(off)) return false;
+                    std::string ke(chrom_seq + off, (size_t)P.k);
+                    std::string ref = kb.substr(kb.size() - 1 - i, 1);
+                    std::string alt;
+                    bool found = micro_assembly(kb, ke, ref, &alt);
+                    if (found)
+                    {
+                        write_indel(breakpoint_id, chrom_name, position - 1, ref, alt, i, "HET");
+                        stats.hetero_indel++;
+                        breakpoint_id++;
+                        return true;
+                    }
+                    int nb_branching = 0;
+                    if (filtering)
+                    {
+                        int nb_prev = 0;
+                        uint8_t begin_index = (uint8_t)(het_begin_index - 1);
+                        while (nb_branching <= max_branching && nb_prev < filter_window)
+                        {
+                            Info& h = history[(uint8_t)(begin_index - nb_prev)];
+                            if (h.nb_out > 1 || h.nb_in > 1) nb_branching++;
+                            nb_prev++;
+                        }
+                    }
+                    if (nb_branching <= max_branching)
+                    {
+                        write_breakpoint(breakpoint_id, chrom_name, position - 1 + i, kb, ke, i,
+                                         "HET", hist_i.is_repeated, kmer_end_is_repeated);
+                        breakpoint_id++;
+                        if (i == 0) stats.hetero_clean++; else stats.hetero_fuzzy++;
+                        recent_hetero = P.max_repeat;
+                        return true;
+                    }
+                    else
+                    {
+                        recent_hetero = recent_hetero > 0 ? recent_hetero - 1 : 0;
+                        return false;
+                    }
+                }
+            }
+        }
+        recent_hetero = recent_hetero > 0 ? recent_hetero - 1 : 0;
+        return false;
+    }
+
+    // ------- notify / scan -------------------------------------------------
+    void store_kmer_info(int64_t i)
+    {
+        current_info.kmer = fwd[i];
+        current_info.nb_in = nb_in_p[i];
+        current_info.nb_out = nb_out_p[i];
+        current_info.is_repeated = suffix_rep_p[i] != 0;
+        history[het_end_index] = current_info;
+        kmer_end_is_repeated = prefix_rep_p[i] != 0;
+    }
+
+    void gap_observers()
+    {
+        if (P.snp)
+        {
+            if (obs_solo_snp()) return;
+            if (obs_multi_snp()) return;
+            if (obs_multi_snp_rev()) return;
+        }
+        if (P.deletion && obs_deletion()) return;
+        if (P.small_homo)
+        {
+            if (obs_small_clean()) return;
+            if (obs_small_fuzzy()) return;
+        }
+        if (P.homo_insert)
+        {
+            if (obs_clean_insertion()) return;
+            if (obs_fuzzy_insertion()) return;
+        }
+        if (P.backup && obs_backup()) return;
+    }
+
+    void notify(int64_t i)
+    {
+        bool in_graph = contains_p[i] != 0;
+        store_kmer_info(i);
+        if (P.hete_insert) obs_hetero();
+        if (in_graph)
+        {
+            solid_stretch_size++;
+            if (solid_stretch_size > 1 && gap_stretch_size > 0)
+            {
+                gap_observers();
+                gap_stretch_size = 0;
+            }
+            if (solid_stretch_size == 1)
+            {
+                kmer_end_fwd = fwd[i];
+                kmer_end_valid = true;
+            }
+        }
+        else
+        {
+            if (solid_stretch_size == 1) gap_stretch_size += solid_stretch_size;
+            if (solid_stretch_size > 1 && previous_valid)
+            {
+                kmer_begin_fwd = previous_fwd;
+                kmer_begin_valid = true;
+                kmer_begin_is_repeated = current_info.is_repeated;
+            }
+            gap_stretch_size++;
+            solid_stretch_size = 0;
+        }
+    }
+
+    void scan_sequence(int64_t n, const int64_t* bed, int64_t n_bed)
+    {
+        kmer_begin_valid = kmer_end_valid = false;
+        solid_stretch_size = gap_stretch_size = 0;
+        memset(history, 0, sizeof(history));
+        for (int q = 0; q < 256; q++) history[q] = Info();
+        het_end_index = (uint8_t)((P.k + 1) & 255);
+        het_begin_index = 1;
+        recent_hetero = 0;
+        position = 0;
+
+        if (n_bed < 0)  // no bed restriction
+        {
+            for (int64_t i = 0; i < n; i++)
+            {
+                if (!valid[i])
+                {
+                    solid_stretch_size = 0;
+                    gap_stretch_size = 0;
+                    kmer_begin_valid = kmer_end_valid = false;
+                }
+                else
+                {
+                    u64 save_position = position;
+                    notify(i);
+                    position = save_position;
+                    previous_fwd = fwd[i];
+                    previous_valid = true;
+                }
+                position++;
+                het_begin_index++;
+                het_end_index++;
+            }
+        }
+        else
+        {
+            if (n_bed == 0) return;
+            int64_t bi = 0;
+            u64 start_pos = (u64)bed[0], end_pos = (u64)bed[1];
+            for (int64_t i = 0; i < n; i++)
+            {
+                if (position >= end_pos)
+                {
+                    bi++;
+                    if (bi >= n_bed / 2) break;
+                    start_pos = (u64)bed[2 * bi];
+                    end_pos = (u64)bed[2 * bi + 1];
+                }
+                if (!valid[i])
+                {
+                    solid_stretch_size = 0;
+                    gap_stretch_size = 0;
+                    kmer_begin_valid = kmer_end_valid = false;
+                }
+                if (position == start_pos - 1)
+                {
+                    solid_stretch_size = 0;
+                    gap_stretch_size = 0;
+                    kmer_begin_valid = kmer_end_valid = false;
+                    for (int q = 0; q < 256; q++) history[q] = Info();
+                }
+                if (valid[i] && position >= start_pos)
+                {
+                    u64 save_position = position;
+                    notify(i);
+                    position = save_position;
+                    previous_fwd = fwd[i];
+                    previous_valid = true;
+                }
+                position++;
+                het_begin_index++;
+                het_end_index++;
+            }
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* scanner_create(int k, int max_repeat, int snp_min_val, int branching_threshold,
+                     uint8_t homo_only, uint8_t snp, uint8_t deletion, uint8_t small_homo,
+                     uint8_t homo_insert, uint8_t backup, uint8_t hete_insert,
+                     const u64* solid, int64_t n_solid, const u64* repeat, int64_t n_repeat)
+{
+    Scanner* s = new Scanner();
+    s->P = Params{k, max_repeat, snp_min_val, branching_threshold, homo_only,
+                  snp, deletion, small_homo, homo_insert, backup, hete_insert};
+    s->solid = solid;
+    s->n_solid = n_solid;
+    s->repeat = repeat;
+    s->n_repeat = n_repeat;
+    return s;
+}
+
+void scanner_scan_sequence(void* h, const char* chrom_name, const char* chrom_seq,
+                           int64_t chrom_len, int64_t n_pos, const uint8_t* valid,
+                           const u64* fwd, const uint8_t* contains, const int32_t* nb_in,
+                           const int32_t* nb_out, const uint8_t* suffix_rep,
+                           const uint8_t* prefix_rep, const int64_t* bed, int64_t n_bed)
+{
+    Scanner* s = (Scanner*)h;
+    s->chrom_name = chrom_name;
+    s->chrom_seq = chrom_seq;
+    s->chrom_len = chrom_len;
+    s->valid = valid;
+    s->fwd = fwd;
+    s->contains_p = contains;
+    s->nb_in_p = nb_in;
+    s->nb_out_p = nb_out;
+    s->suffix_rep_p = suffix_rep;
+    s->prefix_rep_p = prefix_rep;
+    s->scan_sequence(n_pos, bed, n_bed);
+}
+
+int64_t scanner_bkpt_size(void* h) { return (int64_t)((Scanner*)h)->bkpt_out.size(); }
+int64_t scanner_vcf_size(void* h) { return (int64_t)((Scanner*)h)->vcf_out.size(); }
+const char* scanner_bkpt(void* h) { return ((Scanner*)h)->bkpt_out.c_str(); }
+const char* scanner_vcf(void* h) { return ((Scanner*)h)->vcf_out.c_str(); }
+
+void scanner_stats(void* h, long long* out12)
+{
+    Stats& st = ((Scanner*)h)->stats;
+    long long vals[12] = {st.homo_clean, st.homo_fuzzy, st.hetero_clean, st.hetero_fuzzy,
+                          st.fuzzy_deletion, st.clean_deletion, st.solo_snp, st.multi_snp,
+                          st.backup, st.homo_clean_indel, st.homo_fuzzy_indel, st.hetero_indel};
+    memcpy(out12, vals, sizeof(vals));
+}
+
+void scanner_free(void* h) { delete (Scanner*)h; }
+
+}  // extern "C"
