@@ -107,9 +107,78 @@ def build(solid_canonical: np.ndarray, k: int, load_factor: float = 0.35) -> "Ex
     return _place(uniq_keys, payload, load_factor)
 
 
+def _load_native():
+    """Lazy-build/load the native table builder (native/tables.cpp)."""
+    global _NATIVE_LIB, _NATIVE_FAILED
+    if _NATIVE_LIB is not None or _NATIVE_FAILED:
+        return _NATIVE_LIB
+    import ctypes
+    import os
+    import subprocess
+
+    ndir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native"
+    )
+    lib_path = os.path.join(ndir, "libmtgtables.so")
+    src_path = os.path.join(ndir, "tables.cpp")
+    try:
+        if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < os.path.getmtime(src_path):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, src_path],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(lib_path)
+        lib.extmap_place.restype = ctypes.c_int64
+        lib.extmap_place.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        _NATIVE_LIB = lib
+    except Exception:
+        _NATIVE_FAILED = True
+        _NATIVE_LIB = None
+    return _NATIVE_LIB
+
+
+_NATIVE_LIB = None
+_NATIVE_FAILED = False
+
+
+def _place_native(keys: np.ndarray, values: np.ndarray, log_size: int):
+    import ctypes
+
+    lib = _load_native()
+    if lib is None:
+        return None
+    size = 1 << log_size
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    values = np.ascontiguousarray(values, dtype=np.uint8)
+    table = np.full(size, EMPTY, np.uint64)
+    payload = np.zeros(size, np.uint8)
+    scratch = np.zeros(size, np.uint8)
+    stash_k = np.zeros(64, np.uint64)
+    stash_v = np.zeros(64, np.uint8)
+    n_stash = lib.extmap_place(
+        keys.ctypes.data_as(ctypes.c_void_p), values.ctypes.data_as(ctypes.c_void_p),
+        keys.size, log_size,
+        table.ctypes.data_as(ctypes.c_void_p), payload.ctypes.data_as(ctypes.c_void_p),
+        scratch.ctypes.data_as(ctypes.c_void_p),
+        stash_k.ctypes.data_as(ctypes.c_void_p), stash_v.ctypes.data_as(ctypes.c_void_p), 64,
+    )
+    if n_stash < 0:
+        return None
+    order = np.argsort(stash_k[:n_stash])
+    return ExtMap(table, payload, log_size, stash_k[:n_stash][order], stash_v[:n_stash][order])
+
+
 def _place(keys: np.ndarray, values: np.ndarray, load_factor: float) -> "ExtMap":
     n = max(int(keys.size), 1)
     log_size = max(4, int(np.ceil(np.log2(n / load_factor))))
+    if keys.size:
+        em = _place_native(keys, values, log_size)
+        if em is not None:
+            return em
     size = 1 << log_size
     tab_k = np.full(size, EMPTY, np.uint64)
     tab_v = np.zeros(size, np.uint8)
@@ -195,7 +264,8 @@ def _place(keys: np.ndarray, values: np.ndarray, load_factor: float) -> "ExtMap"
 
 
 def lookup_payload(em: ExtMap, canon_keys, xp=np):
-    """Vectorized payload lookup (0 for absent keys). 4 gathers total."""
+    """Vectorized payload lookup (0 for absent keys). 4 gathers total plus a
+    tiny binary search when a stash exists."""
     keys = xp.asarray(canon_keys, dtype=xp.uint64)
     out = xp.zeros(keys.shape, dtype=xp.uint8)
     for const in (_H1, _H2):
@@ -204,8 +274,11 @@ def lookup_payload(em: ExtMap, canon_keys, xp=np):
         slots = (h >> np.uint64(64 - em.log_size)).astype(xp.int64 if xp is not np else np.int64)
         hit = em.keys[slots] == keys
         out = xp.where(hit, em.payload[slots], out)
-    for i in range(int(len(em.stash_keys))):
-        out = xp.where(keys == em.stash_keys[i], em.stash_payload[i], out)
+    n_stash = int(em.stash_keys.shape[0])
+    if n_stash:
+        idx = xp.minimum(xp.searchsorted(em.stash_keys, keys), n_stash - 1)
+        hit = em.stash_keys[idx] == keys
+        out = xp.where(hit, em.stash_payload[idx], out)
     return out
 
 
@@ -216,7 +289,8 @@ def build_member(keys_canonical: np.ndarray, load_factor: float = 0.35) -> "ExtM
 
 
 def lookup_member(em: ExtMap, canon_keys, xp=np):
-    """Vectorized key-only membership. 2 gathers total."""
+    """Vectorized key-only membership. 2 gathers total plus a tiny binary
+    search when a stash exists."""
     keys = xp.asarray(canon_keys, dtype=xp.uint64)
     found = xp.zeros(keys.shape, dtype=bool)
     for const in (_H1, _H2):
@@ -224,8 +298,10 @@ def lookup_member(em: ExtMap, canon_keys, xp=np):
         h = h ^ (h >> np.uint64(29))
         slots = (h >> np.uint64(64 - em.log_size)).astype(xp.int64 if xp is not np else np.int64)
         found = found | (em.keys[slots] == keys)
-    for i in range(int(len(em.stash_keys))):
-        found = found | (keys == em.stash_keys[i])
+    n_stash = int(em.stash_keys.shape[0])
+    if n_stash:
+        idx = xp.minimum(xp.searchsorted(em.stash_keys, keys), n_stash - 1)
+        found = found | (em.stash_keys[idx] == keys)
     return found
 
 
