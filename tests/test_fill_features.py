@@ -1,0 +1,138 @@
+"""Feature tests for fill-mode options and tricky internals."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from mindthegap_tpu.fill.types import FilledInsertion, remove_almost_identical_solutions, median
+from mindthegap_tpu.ops.nw import needleman_wunsch
+
+REF = "/root/reference"
+CLI = ["python3", "bin/MindTheGap"]
+
+
+def run_cli(args, cwd="."):
+    r = subprocess.run(CLI + args, cwd=cwd, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    return r
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    """Synthetic data with one fillable HOM insertion and one unfillable
+    breakpoint (insertion region absent from reads)."""
+    tmp = tmp_path_factory.mktemp("ff")
+    rng = np.random.default_rng(5)
+    genome = "".join(rng.choice(list("ACGT"), size=3000))
+    ins1 = "".join(rng.choice(list("ACGT"), size=80))
+    donor = genome[:1000] + ins1 + genome[1000:]
+    reads = [donor[i : i + 100] for i in rng.integers(0, len(donor) - 100, size=1500)]
+    (tmp / "reads.fasta").write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(reads)))
+    (tmp / "ref.fasta").write_text(f">chr1\n{genome}\n")
+    run_cli(["find", "-in", str(tmp / "reads.fasta"), "-ref", str(tmp / "ref.fasta"),
+             "-abundance-min", "3", "-out", str(tmp / "s")])
+    return tmp, ins1, donor
+
+
+def test_fill_finds_insertion(synth):
+    tmp, ins1, donor = synth
+    run_cli(["fill", "-graph", str(tmp / "s.h5"), "-bkpt", str(tmp / "s.breakpoints"),
+             "-out", str(tmp / "f")])
+    seqs = [l for l in (tmp / "f.insertions.fasta").read_text().splitlines() if not l.startswith(">")]
+    assert len(seqs) == 1
+    # fuzzy sites report the insertion shifted by the repeat size; the
+    # assembled sequence must have the insertion's length and lie on the donor
+    assert len(seqs[0]) == len(ins1)
+    assert seqs[0] in donor
+
+
+def test_fill_extend_on_unfillable(synth, tmp_path):
+    tmp, _, _d = synth
+    # craft an unfillable breakpoint: left anchor real, right anchor random
+    bk = (tmp_path / "bad.breakpoints")
+    real = (tmp / "s.breakpoints").read_text().splitlines()
+    rng = np.random.default_rng(9)
+    fake = "".join(rng.choice(list("ACGT"), size=31))
+    bk.write_text(f"{real[0]}\n{real[1]}\n{real[2]}\n{fake}\n")
+    run_cli(["fill", "-graph", str(tmp / "s.h5"), "-bkpt", str(bk),
+             "-out", str(tmp_path / "x"), "-extend"])
+    ext = (tmp_path / "x.extensions.fasta").read_text()
+    assert ">" in ext  # an extension was produced for the failed breakpoint
+    fasta = (tmp_path / "x.insertions.fasta").read_text()
+    assert fasta.strip() == ""  # nothing filled
+
+
+def test_fill_fwd_only_writes_fewer_info_fields(synth, tmp_path):
+    tmp, _, _d = synth
+    run_cli(["fill", "-graph", str(tmp / "s.h5"), "-bkpt", str(tmp / "s.breakpoints"),
+             "-out", str(tmp_path / "fw"), "-fwd-only"])
+    # same successful fill either way for this data
+    seqs = [l for l in (tmp_path / "fw.insertions.fasta").read_text().splitlines() if not l.startswith(">")]
+    assert len(seqs) == 1
+
+
+def test_vcf_lcs_wraparound():
+    """The left-normalization LCS loop wraps j (reference src/Filler.cpp:1107-1126)."""
+    from mindthegap_tpu.fill.runner import Filler
+
+    f = Filler.__new__(Filler)
+    f.filter = False
+
+    class _S:
+        def write(self, s):
+            self.buf = getattr(self, "buf", "") + s
+
+    f.vcf_file = _S()
+    fi = FilledInsertion("C", 0, ("t", False))
+    fi.qual = 50
+    fi.solution_count = 1
+    fi.solution_rank = 1
+    fi.avg_coverage = 1.0
+    fi.median_coverage = 1.0
+    f.write_vcf([fi], "bkpt1_chr1_pos_10_fuzzy_0_HOM", "ACCCC")
+    line = f.vcf_file.buf
+    # insertion "C" after source "ACCCC": repeat wraps through the insertion
+    ref, alt = line.split("\t")[3], line.split("\t")[4]
+    assert len(alt) == len(ref) + 1 and alt.startswith(ref[0])
+
+
+def test_dedup_keeps_min_anchor_error():
+    a = FilledInsertion("ACGTACGTACGTACGTACGT", 2, ("t", False))
+    b = FilledInsertion("ACGTACGTACGTACGTACGA", 0, ("t", False))  # 95% identical
+    out = remove_almost_identical_solutions([a, b], 90)
+    assert len(out) == 1
+    assert out[0].nb_errors_in_anchor == 0  # b's seq/errors adopted
+
+
+def test_qual_ladder():
+    f = FilledInsertion("A", 0, ("t", False))
+    f.solution_count = 1
+    f.compute_qual(False)
+    assert f.qual == 50
+    f.compute_qual(True)
+    assert f.qual == 25
+    f.solution_count = 2
+    f.compute_qual(True)
+    assert f.qual == 15
+    f.nb_errors_in_anchor = 1
+    f.compute_qual(False)
+    assert f.qual == 10
+    f.nb_errors_in_anchor = 2
+    f.compute_qual(False)
+    assert f.qual == 5
+
+
+def test_nw_matches_reference_scores():
+    ident, mis, gaps = needleman_wunsch("ACGTACGT", "ACGTACGT")
+    assert ident == 1.0 and mis == 0
+    ident, _, _ = needleman_wunsch("ACGTACGT", "ACGTTCGT")
+    assert abs(ident - 7 / 8) < 1e-9
+    ident, _, _ = needleman_wunsch("AAAA", "TTTT")
+    assert ident == 0.0
+
+
+def test_median_nth_element():
+    assert median([5, 1, 3]) == 3
+    assert median([4, 1, 3, 2]) == 2.5
+    assert median([7]) == 7
