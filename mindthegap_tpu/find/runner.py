@@ -95,23 +95,17 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
         import jax.numpy as jnp
 
         from ..ops import extmap as X
-        from .scan_device import scan_planes_device_ext
+        from .scan_device import scan_planes_device_q
         from .scan import Planes
 
-        em = X.build(graph.solid.kmers, k)
-        rm = X.build_member(repeat_set.kmers)
-        E = np.array([X.EMPTY], np.uint64)
-        Z = np.zeros(1, np.uint8)
+        qm = X.build_fused(graph.solid.kmers, k, repeat_set.kmers)
         d = {
-            "ek": jnp.asarray(em.keys),
-            "ep": jnp.asarray(em.payload),
-            "esk": jnp.asarray(em.stash_keys if em.stash_keys.size else E),
-            "esv": jnp.asarray(em.stash_payload if em.stash_payload.size else Z),
-            "rk": jnp.asarray(rm.keys),
-            "rsk": jnp.asarray(rm.stash_keys if rm.stash_keys.size else E),
+            "slots": jnp.asarray(qm.slots),
+            "sk": jnp.asarray(qm.stash_keys),
+            "sv": jnp.asarray(qm.stash_payload),
         }
 
-        window = 1 << 20
+        window = 1 << 22
         halo = k - 1
 
         def device_fn(codes):
@@ -125,9 +119,8 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
                 take = min(window - halo, npos - pos)
                 chunk = np.full(window, 255, np.uint8)
                 chunk[: min(take + halo, n - pos)] = codes[pos : pos + take + halo]
-                res = scan_planes_device_ext(
-                    jnp.asarray(chunk), d["ek"], d["ep"], d["esk"], d["esv"], em.log_size,
-                    d["rk"], d["rsk"], rm.log_size, k,
+                res = scan_planes_device_q(
+                    jnp.asarray(chunk), d["slots"], d["sk"], d["sv"], qm.log_size, k,
                 )
                 for key in outs:
                     outs[key].append(np.asarray(res[key])[:take])

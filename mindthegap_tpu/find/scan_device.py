@@ -180,6 +180,44 @@ def scan_planes_device_ext(
     }
 
 
+@partial(jax.jit, static_argnames=("log_size", "k"))
+def scan_planes_device_q(codes, slots, stash_k, stash_v, log_size: int, k: int):
+    """Plane pass over the fused quotient map (ops/extmap.py QMap): ~2 HBM
+    gathers per position for the full plane set — membership, fwd-strand
+    degrees AND both (k-1)-mer repeat bits ride in one 9-bit payload.
+    This is the flagship find-scan path (3x fewer gathers than _ext)."""
+    from ..ops import extmap as X
+
+    qm = X.QMap(slots, log_size, stash_k, stash_v)
+
+    q, _qvalid = rolling_kmers_device(codes, k - 1)
+    fwd, valid = rolling_kmers_device(codes, k)
+    p = fwd.shape[0]
+
+    canon_q = K.canonical_u64(q, k - 1, jnp)
+    is_canon = q == canon_q
+    pay16 = X.lookup_q(qm, canon_q, xp=jnp)
+    payload = (pay16 & jnp.uint16(0xFF)).astype(jnp.uint8)
+    rep = ((pay16 >> jnp.uint16(8)) & jnp.uint16(1)).astype(bool)
+
+    last_base = jnp.where(codes[k - 1 :] == INVALID, 0, codes[k - 1 :]).astype(jnp.uint8)
+    contains, nb_in, nb_out = X.planes_from_payload(
+        payload[:p], payload[1:], is_canon[:p], is_canon[1:], last_base, xp=jnp
+    )
+    nb_out = jnp.where(contains, nb_out, 0).astype(jnp.int32)
+    nb_in = jnp.where(contains, nb_in, 0).astype(jnp.int32)
+
+    return {
+        "fwd": fwd,
+        "valid": valid,
+        "contains": contains,
+        "nb_in": nb_in,
+        "nb_out": nb_out,
+        "suffix_rep": rep[1:],
+        "prefix_rep": rep[:p],
+    }
+
+
 def compute_planes_device(codes: np.ndarray, k: int, solid_sorted, repeat_sorted, window: int = 1 << 20):
     """Host wrapper: pads/windows a chromosome, runs the device pass, stitches
     numpy planes identical to find.scan.compute_planes."""

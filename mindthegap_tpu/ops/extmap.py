@@ -59,6 +59,12 @@ class ExtMap:
 
 def build(solid_canonical: np.ndarray, k: int, load_factor: float = 0.35) -> "ExtMap":
     """Build the (k-1)-mer extension map from the canonical solid k-mer set."""
+    uniq_keys, payload = _ext_bits(solid_canonical, k)
+    return _place(uniq_keys, payload, load_factor)
+
+
+def _ext_bits(solid_canonical: np.ndarray, k: int):
+    """(canonical (k-1)-mer keys, u8 ext/pre payload) for the solid set."""
     solid = np.asarray(solid_canonical, dtype=np.uint64)
     km1 = k - 1
     mask_km1 = K.kmer_mask(km1)
@@ -104,7 +110,7 @@ def build(solid_canonical: np.ndarray, k: int, load_factor: float = 0.35) -> "Ex
     np.bitwise_or.at(payload, group, bs)
     uniq_keys = ks[uniq_mask]
 
-    return _place(uniq_keys, payload, load_factor)
+    return uniq_keys, payload
 
 
 def _load_native():
@@ -134,6 +140,18 @@ def _load_native():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
+        if hasattr(lib, "extmap_place16"):
+            lib.extmap_place16.restype = ctypes.c_int64
+            lib.extmap_place16.argtypes = lib.extmap_place.argtypes
+        if hasattr(lib, "qmap_build"):
+            lib.qmap_build.restype = ctypes.c_int64
+            lib.qmap_build.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ]
         _NATIVE_LIB = lib
     except Exception:
         _NATIVE_FAILED = True
@@ -151,15 +169,21 @@ def _place_native(keys: np.ndarray, values: np.ndarray, log_size: int):
     lib = _load_native()
     if lib is None:
         return None
+    vdt = values.dtype
+    fn = lib.extmap_place
+    if vdt == np.uint16:
+        fn = getattr(lib, "extmap_place16", None)
+        if fn is None:
+            return None
     size = 1 << log_size
     keys = np.ascontiguousarray(keys, dtype=np.uint64)
-    values = np.ascontiguousarray(values, dtype=np.uint8)
+    values = np.ascontiguousarray(values)
     table = np.full(size, EMPTY, np.uint64)
-    payload = np.zeros(size, np.uint8)
+    payload = np.zeros(size, vdt)
     scratch = np.zeros(size, np.uint8)
     stash_k = np.zeros(64, np.uint64)
-    stash_v = np.zeros(64, np.uint8)
-    n_stash = lib.extmap_place(
+    stash_v = np.zeros(64, vdt)
+    n_stash = fn(
         keys.ctypes.data_as(ctypes.c_void_p), values.ctypes.data_as(ctypes.c_void_p),
         keys.size, log_size,
         table.ctypes.data_as(ctypes.c_void_p), payload.ctypes.data_as(ctypes.c_void_p),
@@ -172,16 +196,16 @@ def _place_native(keys: np.ndarray, values: np.ndarray, log_size: int):
     return ExtMap(table, payload, log_size, stash_k[:n_stash][order], stash_v[:n_stash][order])
 
 
-def _place(keys: np.ndarray, values: np.ndarray, load_factor: float) -> "ExtMap":
+def _place(keys: np.ndarray, values: np.ndarray, load_factor: float, min_log: int = 4) -> "ExtMap":
     n = max(int(keys.size), 1)
-    log_size = max(4, int(np.ceil(np.log2(n / load_factor))))
+    log_size = max(min_log, int(np.ceil(np.log2(n / load_factor))))
     if keys.size:
         em = _place_native(keys, values, log_size)
         if em is not None:
             return em
     size = 1 << log_size
     tab_k = np.full(size, EMPTY, np.uint64)
-    tab_v = np.zeros(size, np.uint8)
+    tab_v = np.zeros(size, values.dtype)
     choice = np.zeros(size, np.uint8)
 
     pend_k, pend_v = keys, values
@@ -208,7 +232,7 @@ def _place(keys: np.ndarray, values: np.ndarray, load_factor: float) -> "ExtMap"
         placed[gidx[fi]] = True
 
         ev_k = np.zeros(0, np.uint64)
-        ev_v = np.zeros(0, np.uint8)
+        ev_v = np.zeros(0, values.dtype)
         ev_t = np.zeros(0, np.uint8)
         fidx = np.nonzero(force)[0]
         if fidx.size:
@@ -236,7 +260,7 @@ def _place(keys: np.ndarray, values: np.ndarray, load_factor: float) -> "ExtMap"
     rng = np.random.default_rng(0xBEEF)
     stuck_k, stuck_v = [], []
     for key, val in zip(pend_k, pend_v):
-        cur_k, cur_v = np.uint64(key), np.uint8(val)
+        cur_k, cur_v = np.uint64(key), values.dtype.type(val)
         ch = 0
         ok = False
         for _ in range(500):
@@ -259,7 +283,7 @@ def _place(keys: np.ndarray, values: np.ndarray, load_factor: float) -> "ExtMap"
     return ExtMap(
         tab_k, tab_v, log_size,
         np.array(stuck_k, np.uint64)[order],
-        np.array(stuck_v, np.uint8)[order],
+        np.array(stuck_v, values.dtype)[order],
     )
 
 
@@ -347,3 +371,192 @@ def _popcount4(bits, xp):
     return (((bits >> 0) & 1) + ((bits >> 1) & 1) + ((bits >> 2) & 1) + ((bits >> 3) & 1)).astype(
         xp.int32
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused quotient map — the 2-gather-per-position find-scan structure.
+#
+# The ext map above needs 4 gathers per lookup (2 cuckoo probes x key+payload
+# planes) plus 2 more for the separate (k-1)-mer repeat set: 6 HBM gathers
+# per reference base, and the pass is gather-issue-bound on TPU (measured
+# ~75-115 M gathers/s on v5e regardless of element width). Two observations
+# remove 2/3 of them:
+#
+#  1. The cuckoo hash `mix` is a bijection on u64 (xorshift and odd-multiply
+#     steps are each invertible), so a slot need not store the key: the slot
+#     index pins the top `log_size` bits of h = mix(key), and storing the
+#     remaining 64-log_size bits ("remainder") plus which hash function
+#     placed the entry identifies the key EXACTLY (no fingerprint FPs).
+#     Key plane and payload plane collapse into one u64 slot:
+#
+#         [ rem : 64-log_size ][ valid:1 ][ hash-choice:1 ][ payload:9 ]
+#          bit 11+               bit 10     bit 9            bits 0-8
+#
+#  2. The repeat set is keyed by the same canonical (k-1)-mers as the ext
+#     map, so its bit rides in the payload (bit 8) of a union table.
+#
+# One lookup = 2 independent u64 gathers; per reference position the whole
+# find plane set (contains, nb_in, nb_out, suffix/prefix repeat) costs ~2
+# gathers. Requires log_size >= 11 (rem <= 53 bits); build forces >= 12.
+"""Reference semantics covered: src/FindBreakpoints.hpp:560-622 (membership +
+degrees per scanned k-mer) and :1012-1046 (two (k-1)-mer repeat-bloom
+queries per position), restated as one fused exact-map lookup stream."""
+
+QPAY_MASK = np.uint64(0x1FF)  # payload bits 0..8
+QREP_BIT = np.uint16(1 << 8)  # repeat flag inside the payload
+_QSHIFT_PAY = np.uint64(11)
+_QVALID = np.uint64(1 << 10)
+_QCHOICE = np.uint64(1 << 9)
+
+
+@dataclass
+class QMap:
+    slots: np.ndarray  # u64 [2**log_size]; 0 = empty
+    log_size: int
+    stash_keys: np.ndarray  # u64 [<=64] (EMPTY-padded never matches)
+    stash_payload: np.ndarray  # u16
+
+    @property
+    def nbytes(self):
+        return self.slots.nbytes
+
+
+def build_fused(
+    solid_canonical: np.ndarray,
+    k: int,
+    repeat_canonical: np.ndarray,
+    load_factor: float = 0.35,
+) -> "QMap":
+    """Union table over canonical (k-1)-mers: ext/pre bitmap (bits 0-7) from
+    the solid k-mer set + repeat bit (bit 8) from the reference repeat set."""
+    if k <= 32:
+        qm = _build_fused_native(solid_canonical, k, repeat_canonical, load_factor)
+        if qm is not None:
+            return qm
+    ext_keys, ext_pay = _ext_bits(solid_canonical, k)
+    rep_keys = np.unique(np.asarray(repeat_canonical, dtype=np.uint64))
+
+    keys_all = np.concatenate([ext_keys, rep_keys])
+    vals_all = np.concatenate(
+        [ext_pay.astype(np.uint16), np.full(rep_keys.size, QREP_BIT, np.uint16)]
+    )
+    order = np.argsort(keys_all, kind="stable")
+    ks, vs = keys_all[order], vals_all[order]
+    uniq = np.empty(ks.size, bool)
+    if ks.size:
+        uniq[0] = True
+        uniq[1:] = ks[1:] != ks[:-1]
+        group = np.cumsum(uniq) - 1
+        merged = np.zeros(int(group[-1]) + 1, np.uint16)
+        np.bitwise_or.at(merged, group, vs)
+        keys, vals = ks[uniq], merged
+    else:
+        keys, vals = ks, vs
+
+    em = _place(keys, vals, load_factor, min_log=12)
+    slots = _quotient_encode(em.keys, em.payload, em.log_size)
+    stash_k = em.stash_keys
+    stash_v = em.stash_payload.astype(np.uint16)
+    if stash_k.size == 0:
+        stash_k = np.array([EMPTY], np.uint64)
+        stash_v = np.zeros(1, np.uint16)
+    return QMap(slots, em.log_size, stash_k, stash_v)
+
+
+def _build_fused_native(solid, k, repeat, load_factor):
+    """One-pass native build (native/tables.cpp qmap_build): derive ext bits,
+    upsert-with-or into the cuckoo table, quotient-encode. Returns None when
+    the native library is unavailable (numpy fallback takes over)."""
+    import ctypes
+
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "qmap_build"):
+        return None
+    solid = np.ascontiguousarray(solid, dtype=np.uint64)
+    repeat = np.ascontiguousarray(np.unique(np.asarray(repeat, dtype=np.uint64)))
+    # distinct (k-1)-mer keys are ~|solid| in practice; start there and grow
+    # on placement failure
+    n_est = max(int(solid.size) + int(repeat.size), 4)
+    log_size = max(12, int(np.ceil(np.log2(n_est / load_factor))))
+    for _ in range(6):
+        size = 1 << log_size
+        tab_k = np.full(size, EMPTY, np.uint64)
+        tab_v = np.zeros(size, np.uint16)
+        tab_c = np.zeros(size, np.uint8)
+        slots = np.zeros(size, np.uint64)
+        stash_k = np.zeros(64, np.uint64)
+        stash_v = np.zeros(64, np.uint16)
+        n_stash = lib.qmap_build(
+            solid.ctypes.data_as(ctypes.c_void_p), solid.size, k,
+            repeat.ctypes.data_as(ctypes.c_void_p), repeat.size, log_size,
+            tab_k.ctypes.data_as(ctypes.c_void_p), tab_v.ctypes.data_as(ctypes.c_void_p),
+            tab_c.ctypes.data_as(ctypes.c_void_p),
+            slots.ctypes.data_as(ctypes.c_void_p),
+            stash_k.ctypes.data_as(ctypes.c_void_p), stash_v.ctypes.data_as(ctypes.c_void_p), 64,
+        )
+        if n_stash >= 0:
+            order = np.argsort(stash_k[:n_stash])
+            sk = stash_k[:n_stash][order]
+            sv = stash_v[:n_stash][order]
+            if sk.size == 0:
+                sk = np.array([EMPTY], np.uint64)
+                sv = np.zeros(1, np.uint16)
+            return QMap(slots, log_size, sk, sv)
+        log_size += 1
+    return None
+
+
+def _quotient_encode(tab_keys: np.ndarray, tab_vals: np.ndarray, log_size: int) -> np.ndarray:
+    """Pack an explicit (key, payload) cuckoo table into quotient slots.
+
+    The hash choice per slot is recovered from the keys themselves: a key
+    sits either at its H1 or its H2 slot (when both coincide, H1 works)."""
+    shift = np.uint64(64 - log_size)
+    occ = tab_keys != EMPTY
+    sidx = np.arange(tab_keys.size, dtype=np.uint64)
+    h1 = _mix(tab_keys, _H1)
+    h2 = _mix(tab_keys, _H2)
+    use1 = (h1 >> shift) == sidx
+    ok = use1 | ((h2 >> shift) == sidx)
+    if not ok[occ].all():
+        raise AssertionError("quotient encode: slot not reachable by either hash")
+    h = np.where(use1, h1, h2)
+    rem_mask = (np.uint64(1) << shift) - np.uint64(1)
+    val = (
+        ((h & rem_mask) << _QSHIFT_PAY)
+        | _QVALID
+        | np.where(use1, np.uint64(0), _QCHOICE)
+        | tab_vals.astype(np.uint64)
+    )
+    return np.where(occ, val, np.uint64(0))
+
+
+def lookup_q(qm: QMap, canon_keys, xp=np):
+    """Fused payload lookup: 2 u64 gathers (+ tiny stash pass). Returns u16
+    payload (0 for absent keys): ext bits 0-3, pre bits 4-7, repeat bit 8."""
+    keys = xp.asarray(canon_keys, dtype=xp.uint64)
+    shift = np.uint64(64 - qm.log_size)
+    rem_mask = (np.uint64(1) << shift) - np.uint64(1)
+    out = xp.zeros(keys.shape, dtype=xp.uint16)
+    for i, const in enumerate((_H1, _H2)):
+        h = (keys ^ (keys >> np.uint64(33))) * const
+        h = h ^ (h >> np.uint64(29))
+        slot = (h >> shift).astype(xp.int32)
+        v = qm.slots[slot]
+        hit = (
+            ((v >> _QSHIFT_PAY) == (h & rem_mask))
+            & ((v & _QVALID) != 0)
+            & (((v & _QCHOICE) != 0) == (i == 1))
+        )
+        out = xp.where(hit, (v & QPAY_MASK).astype(xp.uint16), out)
+    # stash pass (<=64 entries, EMPTY-padded sentinels never match a real
+    # (k-1)-mer key since canonical kmers are < 2^62): broadcast-compare,
+    # which measures far cheaper than gathers at this width
+    if int(qm.stash_keys.shape[0]):
+        eq = keys[:, None] == qm.stash_keys[None, :]
+        add = xp.sum(
+            xp.where(eq, qm.stash_payload[None, :], xp.zeros((), xp.uint16)).astype(xp.uint16),
+            axis=1,
+        ).astype(xp.uint16)
+        out = out | add
+    return out

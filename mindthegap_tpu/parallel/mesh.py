@@ -54,6 +54,29 @@ def sharded_scan(mesh: Mesh, windows: np.ndarray, solid_sorted, repeat_sorted, k
     return jax.tree.map(np.asarray, run(windows_d, solid_d, repeat_d))
 
 
+def sharded_scan_q(mesh: Mesh, windows: np.ndarray, qmap, k: int):
+    """Window-sharded find-scan over the fused quotient map (ops/extmap.py
+    QMap, ~2 gathers/position): windows sharded on the mesh axis, the map
+    replicated on every device (when the map exceeds per-chip HBM, shard it
+    and route queries — SURVEY.md §2.3 last row)."""
+    from ..find.scan_device import scan_planes_device_q
+
+    axis = mesh.axis_names[0]
+    win_sharding = NamedSharding(mesh, P(axis, None))
+    rep_sharding = NamedSharding(mesh, P())
+
+    windows_d = jax.device_put(jnp.asarray(windows), win_sharding)
+    slots_d = jax.device_put(jnp.asarray(qmap.slots), rep_sharding)
+    sk_d = jax.device_put(jnp.asarray(qmap.stash_keys), rep_sharding)
+    sv_d = jax.device_put(jnp.asarray(qmap.stash_payload), rep_sharding)
+
+    @jax.jit
+    def run(w, slots, sk, sv):
+        return jax.vmap(lambda row: scan_planes_device_q(row, slots, sk, sv, qmap.log_size, k))(w)
+
+    return jax.tree.map(np.asarray, run(windows_d, slots_d, sk_d, sv_d))
+
+
 def distributed_count_step(mesh: Mesh, read_codes: np.ndarray, k: int, histo_max: int = 10000):
     """One data-parallel counting step: reads sharded over the mesh, each
     shard extracts canonical k-mers, sorts them locally, and computes an
@@ -95,7 +118,11 @@ def distributed_count_step(mesh: Mesh, read_codes: np.ndarray, k: int, histo_max
 
 def pipeline_step(mesh: Mesh, read_codes: np.ndarray, windows: np.ndarray, solid_sorted, repeat_sorted, k: int):
     """A full multi-chip 'step': distributed counting (dp axis with psum) +
-    window-sharded scan (sp axis). Used by the multichip dry run."""
+    window-sharded scan (sp axis) over the fused quotient map. Used by the
+    multichip dry run."""
+    from ..ops import extmap as X
+
     runs, ghist = distributed_count_step(mesh, read_codes, k)
-    planes = sharded_scan(mesh, windows, solid_sorted, repeat_sorted, k)
+    qm = X.build_fused(np.asarray(solid_sorted, np.uint64), k, np.asarray(repeat_sorted, np.uint64))
+    planes = sharded_scan_q(mesh, windows, qm, k)
     return runs, ghist, planes

@@ -79,4 +79,181 @@ int64_t extmap_place(const u64* keys, const uint8_t* values, int64_t n, int log_
     return n_stash;
 }
 
+// ---------------------------------------------------------------------------
+// Fused quotient-map builder (ops/extmap.py build_fused): derives the
+// (k-1)-mer extension bitmap pairs from the canonical solid k-mer set,
+// upserts them (bitwise-or on duplicate keys) into a 2-choice cuckoo table
+// together with the reference repeat set (payload bit 8), then packs the
+// table into quotient slots [rem | valid | choice | payload]. One native
+// pass replaces a numpy argsort+aggregate+place+encode chain that costs
+// minutes at genome scale.
+
+namespace {
+
+inline u64 revcomp_u64(u64 x, int k)
+{
+    // complement every 2-bit base (A=0,C=1,T=2,G=3: complement = code^2)
+    x ^= 0xAAAAAAAAAAAAAAAAULL;
+    // reverse 2-bit groups within the word
+    x = ((x >> 2) & 0x3333333333333333ULL) | ((x & 0x3333333333333333ULL) << 2);
+    x = ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((x & 0x0F0F0F0F0F0F0F0FULL) << 4);
+    x = ((x >> 8) & 0x00FF00FF00FF00FFULL) | ((x & 0x00FF00FF00FF00FFULL) << 8);
+    x = ((x >> 16) & 0x0000FFFF0000FFFFULL) | ((x & 0x0000FFFF0000FFFFULL) << 16);
+    x = ((x >> 32) & 0x00000000FFFFFFFFULL) | ((x & 0x00000000FFFFFFFFULL) << 32);
+    return x >> (64 - 2 * k);
+}
+
+struct QBuild {
+    u64* keys;
+    uint16_t* vals;
+    uint8_t* choice;
+    int log_size;
+    u64* stash_k;
+    uint16_t* stash_v;
+    int64_t n_stash;
+    int64_t max_stash;
+    u64 rng;
+    bool failed;
+
+    inline u64 slot_of(u64 key, int ch) const
+    {
+        return mix(key, ch == 0 ? H1 : H2) >> (64 - log_size);
+    }
+
+    void upsert(u64 key, uint16_t bits)
+    {
+        u64 s1 = slot_of(key, 0);
+        if (keys[s1] == key) { vals[s1] |= bits; return; }
+        u64 s2 = slot_of(key, 1);
+        if (keys[s2] == key) { vals[s2] |= bits; return; }
+        if (keys[s1] == EMPTY) { keys[s1] = key; vals[s1] = bits; choice[s1] = 0; return; }
+        if (keys[s2] == EMPTY) { keys[s2] = key; vals[s2] = bits; choice[s2] = 1; return; }
+        // eviction walk
+        u64 cur = key;
+        uint16_t val = bits;
+        int ch = 0;
+        for (int step = 0; step < 1000; step++)
+        {
+            u64 s = slot_of(cur, ch);
+            if (keys[s] == EMPTY) { keys[s] = cur; vals[s] = val; choice[s] = (uint8_t)ch; return; }
+            u64 ok = keys[s]; uint16_t ov = vals[s]; int oc = choice[s];
+            keys[s] = cur; vals[s] = val; choice[s] = (uint8_t)ch;
+            cur = ok; val = ov;
+            rng = rng * 6364136223846793005ULL + 1442695040888963407ULL;
+            ch = (oc + 1) % 2;
+        }
+        if (n_stash >= max_stash) { failed = true; return; }
+        stash_k[n_stash] = cur;
+        stash_v[n_stash] = val;
+        n_stash++;
+    }
+};
+
+}  // namespace
+
+// Returns stash size, or -1 when the table is too small (caller retries with
+// log_size+1). tab_keys must be pre-filled with EMPTY; vals/choice/slots_out
+// zeroed.
+int64_t qmap_build(const u64* solid, int64_t n, int k,
+                   const u64* repeat_keys, int64_t r, int log_size,
+                   u64* tab_keys, uint16_t* tab_vals, uint8_t* tab_choice,
+                   u64* slots_out,
+                   u64* stash_keys, uint16_t* stash_vals, int64_t max_stash)
+{
+    QBuild b = {tab_keys, tab_vals, tab_choice, log_size,
+                stash_keys, stash_vals, 0, max_stash,
+                0x853C49E6748FEA9BULL, false};
+    const int km1 = k - 1;
+    const u64 mask_km1 = (k - 1 == 32) ? ~0ULL : ((1ULL << (2 * km1)) - 1);
+    const int shift_first = 2 * km1;
+
+    for (int64_t i = 0; i < n && !b.failed; i++)
+    {
+        u64 orient[2] = {solid[i], revcomp_u64(solid[i], k)};
+        for (int o = 0; o < 2; o++)
+        {
+            u64 F = orient[o];
+            // prefix rule: p = F >> 2 (as-read), x = last base -> ext_p[x]
+            u64 p = (F >> 2) & mask_km1;
+            int x = (int)(F & 3);
+            u64 p_rc = revcomp_u64(p, km1);
+            bool p_canon = p <= p_rc;
+            int bit = p_canon ? x : 4 + (x ^ 2);
+            b.upsert(p_canon ? p : p_rc, (uint16_t)(1u << bit));
+            // suffix rule: s = F & mask, y = first base -> pre_s[y]
+            u64 s = F & mask_km1;
+            int y = (int)((F >> shift_first) & 3);
+            u64 s_rc = revcomp_u64(s, km1);
+            bool s_canon = s <= s_rc;
+            bit = s_canon ? 4 + y : (y ^ 2);
+            b.upsert(s_canon ? s : s_rc, (uint16_t)(1u << bit));
+        }
+    }
+    for (int64_t j = 0; j < r && !b.failed; j++)
+        b.upsert(repeat_keys[j], (uint16_t)(1u << 8));
+    if (b.failed) return -1;
+
+    // quotient-encode occupied slots
+    const int shift = 64 - log_size;
+    const u64 rem_mask = (shift == 64) ? ~0ULL : ((1ULL << shift) - 1);
+    const int64_t size = 1LL << log_size;
+    for (int64_t s = 0; s < size; s++)
+    {
+        if (tab_keys[s] == EMPTY) { slots_out[s] = 0; continue; }
+        int ch = tab_choice[s];
+        u64 h = mix(tab_keys[s], ch == 0 ? H1 : H2);
+        slots_out[s] = ((h & rem_mask) << 11) | (1ULL << 10) | ((u64)ch << 9) | (u64)tab_vals[s];
+    }
+    return b.n_stash;
+}
+
+// Same as extmap_place but with 16-bit payloads (used by the fused
+// quotient map: 8 ext/pre bits + repeat bit).
+int64_t extmap_place16(const u64* keys, const uint16_t* values, int64_t n, int log_size,
+                       u64* table, uint16_t* payload, uint8_t* slot_choice,
+                       u64* stash_keys, uint16_t* stash_vals, int64_t max_stash)
+{
+    const int shift = 64 - log_size;
+    u64 rng = 0x853C49E6748FEA9BULL;
+    int64_t n_stash = 0;
+
+    for (int64_t i = 0; i < n; i++)
+    {
+        u64 cur = keys[i];
+        uint16_t val = values ? values[i] : 1;
+        int choice = 0;
+        bool placed = false;
+        for (int step = 0; step < 1000; step++)
+        {
+            u64 slot = mix(cur, choice == 0 ? H1 : H2) >> shift;
+            if (table[slot] == EMPTY)
+            {
+                table[slot] = cur;
+                payload[slot] = val;
+                slot_choice[slot] = (uint8_t)choice;
+                placed = true;
+                break;
+            }
+            u64 old_key = table[slot];
+            uint16_t old_val = payload[slot];
+            int old_choice = slot_choice[slot];
+            table[slot] = cur;
+            payload[slot] = val;
+            slot_choice[slot] = (uint8_t)choice;
+            cur = old_key;
+            val = old_val;
+            rng = rng * 6364136223846793005ULL + 1442695040888963407ULL;
+            choice = (old_choice + 1) % 2;
+        }
+        if (!placed)
+        {
+            if (n_stash >= max_stash) return -1;
+            stash_keys[n_stash] = cur;
+            stash_vals[n_stash] = val;
+            n_stash++;
+        }
+    }
+    return n_stash;
+}
+
 }  // extern "C"
