@@ -76,8 +76,10 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
     def host_fn(codes):
         return scan.compute_planes(codes, k, graph.solid.kmers, repeat_set.kmers)
 
-    if engine == "host" or k > 32:
+    if engine == "host" or k > 256:
         return host_fn
+    if k > 32:
+        return _make_span_plane_fn(engine, graph, repeat_set, k, host_fn)
     if engine == "auto":
         # the device path pays a table build + XLA compile; only worth it on
         # genome-scale runs with an accelerator attached
@@ -140,6 +142,85 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
         import sys
 
         sys.stderr.write(f"warning: device scan unavailable ({e}); using host scan\n")
+        return host_fn
+
+
+def _make_span_plane_fn(engine: str, graph, repeat_set, k: int, host_fn):
+    """Device scan engine for 32 < k <= 256 (multi-word quotient map,
+    scan_device.scan_planes_device_q_span)."""
+    if engine == "auto":
+        if len(graph.solid) < (1 << 21):
+            return host_fn
+        try:
+            import jax
+
+            if jax.default_backend() in ("cpu",):
+                return host_fn
+        except Exception:
+            return host_fn
+
+    try:
+        import jax.numpy as jnp
+
+        from ..ops import extmap as X
+        from ..ops.span import Span
+        from .scan import Planes
+        from .scan_device import scan_planes_device_q_span
+
+        sp = Span(k)
+        spm1 = Span(k - 1)
+        solid_rows = sp.from_keys(graph.solid.keys)
+        if repeat_set.span is None:  # k = 33: (k-1)-mer set is plain u64
+            rep_rows = np.asarray(repeat_set.keys, np.uint64).reshape(-1, 1)
+        else:
+            rep_rows = spm1.from_keys(repeat_set.keys)
+        qms = X.build_fused_span(solid_rows, k, rep_rows)
+        d = {
+            "slots": jnp.asarray(qms.slots),
+            "sat": jnp.asarray(qms.sat),
+            "sk": jnp.asarray(qms.stash_key64),
+            "ss": jnp.asarray(qms.stash_sat),
+            "sv": jnp.asarray(qms.stash_payload),
+        }
+
+        window = 1 << 21
+        halo = k - 1
+
+        def device_fn(codes):
+            n = codes.shape[0]
+            if n < k:
+                return host_fn(codes)
+            outs = {key: [] for key in ("fwd_words", "valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep")}
+            pos = 0
+            npos = n - k + 1
+            while pos < npos:
+                take = min(window - halo, npos - pos)
+                chunk = np.full(window, 255, np.uint8)
+                chunk[: min(take + halo, n - pos)] = codes[pos : pos + take + halo]
+                res = scan_planes_device_q_span(
+                    jnp.asarray(chunk), d["slots"], d["sat"], d["sk"], d["ss"], d["sv"],
+                    qms.salt, qms.log_size, k,
+                )
+                for key in outs:
+                    arr = np.asarray(res[key])
+                    outs[key].append(arr[..., :take])
+                pos += take
+            fwd_rows = np.concatenate([w.T for w in outs.pop("fwd_words")], axis=0)
+            return Planes(
+                valid=np.concatenate(outs["valid"]),
+                fwd=sp.to_ints(fwd_rows),
+                contains=np.concatenate(outs["contains"]),
+                nb_in=np.concatenate(outs["nb_in"]),
+                nb_out=np.concatenate(outs["nb_out"]),
+                suffix_rep=np.concatenate(outs["suffix_rep"]),
+                prefix_rep=np.concatenate(outs["prefix_rep"]),
+            )
+
+        return device_fn
+    except Exception as e:
+        import sys
+
+        sys.stderr.write(f"warning: device span scan unavailable ({e}); using host scan\n")
         return host_fn
 
 

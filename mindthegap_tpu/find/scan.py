@@ -130,8 +130,14 @@ def compute_planes_span(codes: np.ndarray, k: int, solid_keys, repeat_keys) -> P
 
     suffix = sp.low_bits(arr, k - 1)
     prefix = sp.low_bits(sp.shifted_right2(arr), k - 1)
-    suffix_rep = member(repeat_keys, spm1.keys(spm1.canonical(suffix)))
-    prefix_rep = member(repeat_keys, spm1.keys(spm1.canonical(prefix)))
+    if k - 1 <= 32:
+        # k = 33 edge: the (k-1)-mer repeat set is a plain u64 SolidSet
+        # (span is only used above 32); query it in its native key form
+        suffix_rep = member(repeat_keys, K.canonical_u64(suffix[:, -1], k - 1))
+        prefix_rep = member(repeat_keys, K.canonical_u64(prefix[:, -1], k - 1))
+    else:
+        suffix_rep = member(repeat_keys, spm1.keys(spm1.canonical(suffix)))
+        prefix_rep = member(repeat_keys, spm1.keys(spm1.canonical(prefix)))
 
     return Planes(
         valid=np.asarray(valid),

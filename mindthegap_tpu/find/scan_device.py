@@ -218,6 +218,45 @@ def scan_planes_device_q(codes, slots, stash_k, stash_v, log_size: int, k: int):
     }
 
 
+@partial(jax.jit, static_argnames=("salt", "log_size", "k"))
+def scan_planes_device_q_span(codes, slots, sat, stash_k64, stash_sat, stash_v,
+                              salt: int, log_size: int, k: int):
+    """Plane pass for 32 < k <= 256 over the multi-word fused quotient map
+    (ops/extmap.py QMapSpan): per position ~2*Wq gathers (Wq = words per
+    (k-1)-mer). Returns the same plane dict with `fwd_words` as a stacked
+    (Wk, P) u64 array (converted to python-int fwd by the host wrapper)."""
+    from ..ops import extmap as X
+    from ..ops import span_device as SD
+
+    qm = X.QMapSpan(slots, sat, log_size, salt, stash_k64, stash_sat, stash_v)
+
+    qwords, _qvalid = SD.rolling_span_device(codes, k - 1)
+    fwd_words, valid = SD.rolling_span_device(codes, k)
+    p = fwd_words.shape[1]
+
+    canon_q, is_canon = SD.canonical_span_device(qwords, k - 1)
+    pay16 = X.lookup_q_span(qm, canon_q, xp=jnp)
+    payload = (pay16 & jnp.uint16(0xFF)).astype(jnp.uint8)
+    rep = ((pay16 >> jnp.uint16(8)) & jnp.uint16(1)).astype(bool)
+
+    last_base = jnp.where(codes[k - 1 :] == INVALID, 0, codes[k - 1 :]).astype(jnp.uint8)
+    contains, nb_in, nb_out = X.planes_from_payload(
+        payload[:p], payload[1:], is_canon[:p], is_canon[1:], last_base, xp=jnp
+    )
+    nb_out = jnp.where(contains, nb_out, 0).astype(jnp.int32)
+    nb_in = jnp.where(contains, nb_in, 0).astype(jnp.int32)
+
+    return {
+        "fwd_words": fwd_words,
+        "valid": valid,
+        "contains": contains,
+        "nb_in": nb_in,
+        "nb_out": nb_out,
+        "suffix_rep": rep[1:],
+        "prefix_rep": rep[:p],
+    }
+
+
 def compute_planes_device(codes: np.ndarray, k: int, solid_sorted, repeat_sorted, window: int = 1 << 20):
     """Host wrapper: pads/windows a chromosome, runs the device pass, stitches
     numpy planes identical to find.scan.compute_planes."""

@@ -170,11 +170,14 @@ def _place_native(keys: np.ndarray, values: np.ndarray, log_size: int):
     if lib is None:
         return None
     vdt = values.dtype
-    fn = lib.extmap_place
-    if vdt == np.uint16:
+    if vdt == np.uint8:
+        fn = lib.extmap_place
+    elif vdt == np.uint16:
         fn = getattr(lib, "extmap_place16", None)
         if fn is None:
             return None
+    else:
+        return None  # u32+ payloads (row indices): numpy placement only
     size = 1 << log_size
     keys = np.ascontiguousarray(keys, dtype=np.uint64)
     values = np.ascontiguousarray(values)
@@ -529,6 +532,166 @@ def _quotient_encode(tab_keys: np.ndarray, tab_vals: np.ndarray, log_size: int) 
         | tab_vals.astype(np.uint64)
     )
     return np.where(occ, val, np.uint64(0))
+
+
+# ---------------------------------------------------------------------------
+# Multi-word (k > 32) fused quotient map. Keys are canonical (k-1)-mers of
+# Wq = ceil((k-1)/32) uint64 words. Exactness via a 64-bit residual digest:
+#
+#   key64 = w0 ^ G(w1..w_{Wq-1})        (ops/span_device.py digest64)
+#
+# The quotient slot pins mix(key64 ^ salt) fully (invertible), and satellite
+# planes store words 1..Wq-1 raw; equal digest + equal satellites => equal
+# key (w0 recovered by xor). Per probe: 1 slot gather + (Wq-1) satellite
+# gathers. `salt` guarantees no salted digest equals the EMPTY sentinel
+# (digests span the full u64 range, unlike k <= 32 canonical kmers).
+
+
+@dataclass
+class QMapSpan:
+    slots: np.ndarray  # u64 [S]; 0 = empty
+    sat: np.ndarray  # u64 [Wq-1, S] satellite word planes
+    log_size: int
+    salt: int
+    stash_key64: np.ndarray  # u64 [n] (salted digests; EMPTY-padded)
+    stash_sat: np.ndarray  # u64 [n, Wq-1]
+    stash_payload: np.ndarray  # u16 [n]
+
+    @property
+    def nbytes(self):
+        return self.slots.nbytes + self.sat.nbytes
+
+
+def build_fused_span(solid_rows: np.ndarray, k: int, repeat_rows: np.ndarray,
+                     load_factor: float = 0.35) -> "QMapSpan":
+    """Fused (k-1)-mer map for k > 32: ext/pre bits from the multi-word solid
+    set + repeat bit, quotient-encoded with satellite word planes."""
+    from .span import Span
+    from .span_device import digest64
+
+    sp = Span(k)
+    spm1 = Span(k - 1)
+    wq = spm1.W
+    solid_rows = np.asarray(solid_rows, np.uint64).reshape(-1, sp.W)
+    repeat_rows = np.asarray(repeat_rows, np.uint64).reshape(-1, wq)
+
+    rows_parts, bits_parts = [], []
+    fwd = solid_rows
+    orientations = (fwd, sp.revcomp(fwd)) if fwd.size else (fwd,)
+    for F in orientations:
+        if F.shape[0] == 0:
+            continue
+        # prefix rule: p = (F >> 2) & mask(k-1), x = last base -> ext_p[x]
+        p = sp.low_bits(sp.shifted_right2(F), k - 1)
+        x = (F[:, -1] & np.uint64(3)).astype(np.uint8)
+        cp = spm1.canonical(p)
+        is_c = spm1.keys(p) == spm1.keys(cp)
+        bit = np.where(is_c, x, 4 + (x ^ 2))
+        rows_parts.append(cp)
+        bits_parts.append(np.left_shift(np.uint16(1), bit.astype(np.uint16)).astype(np.uint16))
+        # suffix rule: s = F & mask(k-1), y = first base -> pre_s[y]
+        s = sp.low_bits(F, k - 1)
+        top_bits = 2 * k - 64 * (sp.W - 1)
+        y = ((F[:, 0] >> np.uint64(top_bits - 2)) & np.uint64(3)).astype(np.uint8)
+        cs = spm1.canonical(s)
+        is_cs = spm1.keys(s) == spm1.keys(cs)
+        bit = np.where(is_cs, 4 + y, (y ^ 2))
+        rows_parts.append(cs)
+        bits_parts.append(np.left_shift(np.uint16(1), bit.astype(np.uint16)).astype(np.uint16))
+    if repeat_rows.shape[0]:
+        rows_parts.append(repeat_rows)
+        bits_parts.append(np.full(repeat_rows.shape[0], QREP_BIT, np.uint16))
+
+    if rows_parts:
+        rows_all = np.concatenate(rows_parts)
+        bits_all = np.concatenate(bits_parts)
+    else:
+        rows_all = np.zeros((0, wq), np.uint64)
+        bits_all = np.zeros(0, np.uint16)
+
+    # dedup by void keys, OR the payload bits
+    keys_v = spm1.keys(rows_all)
+    order = np.argsort(keys_v, kind="stable")
+    kv, bv = keys_v[order], bits_all[order]
+    uniq = np.empty(kv.size, bool)
+    if kv.size:
+        uniq[0] = True
+        uniq[1:] = kv[1:] != kv[:-1]
+        group = np.cumsum(uniq) - 1
+        merged = np.zeros(int(group[-1]) + 1, np.uint16)
+        np.bitwise_or.at(merged, group, bv)
+        rows = spm1.from_keys(kv[uniq])
+        vals = merged
+    else:
+        rows = rows_all
+        vals = bits_all
+
+    dig = digest64(rows.T, xp=np) if rows.shape[0] else np.zeros(0, np.uint64)
+    salt = np.uint64(0)
+    rng = np.random.default_rng(0xD1CE)
+    while rows.shape[0] and bool(((dig ^ salt) == EMPTY).any()):
+        salt = np.uint64(rng.integers(0, 1 << 63, dtype=np.uint64))
+    dig_s = dig ^ salt
+
+    em = _place(dig_s, np.arange(max(rows.shape[0], 1), dtype=np.uint32)[: rows.shape[0]]
+                if rows.shape[0] else np.zeros(0, np.uint32),
+                load_factor, min_log=12)
+    size = 1 << em.log_size
+    occ = em.keys != EMPTY
+    idx = em.payload.astype(np.int64)
+    pay_slot = np.where(occ, vals[np.minimum(idx, max(vals.size - 1, 0))] if vals.size else 0, 0).astype(np.uint16)
+    slots = _quotient_encode(em.keys, pay_slot, em.log_size)
+    sat = np.zeros((wq - 1, size), np.uint64)
+    if rows.shape[0]:
+        occ_idx = np.nonzero(occ)[0]
+        for i in range(1, wq):
+            sat[i - 1, occ_idx] = rows[idx[occ_idx], i]
+
+    n_st = em.stash_keys.size
+    stash_key64 = em.stash_keys if n_st else np.array([EMPTY], np.uint64)
+    if n_st:
+        sidx = em.stash_payload.astype(np.int64)
+        stash_sat = rows[sidx][:, 1:] if wq > 1 else np.zeros((n_st, 0), np.uint64)
+        stash_pay = vals[sidx].astype(np.uint16)
+    else:
+        stash_sat = np.zeros((1, wq - 1), np.uint64)
+        stash_pay = np.zeros(1, np.uint16)
+    return QMapSpan(slots, sat, em.log_size, int(salt), stash_key64, stash_sat, stash_pay)
+
+
+def lookup_q_span(qms: QMapSpan, words, xp=np):
+    """Fused payload lookup for multi-word keys: per probe 1 slot gather +
+    Wq-1 satellite gathers. words: (Wq, P) u64. Returns u16 payload."""
+    from .span_device import digest64
+
+    wq = int(words.shape[0])
+    shift = np.uint64(64 - qms.log_size)
+    rem_mask = (np.uint64(1) << shift) - np.uint64(1)
+    dig = digest64(words, xp=xp) ^ np.uint64(qms.salt)
+    out = xp.zeros(words.shape[1:], dtype=xp.uint16)
+    for i, const in enumerate((_H1, _H2)):
+        h = (dig ^ (dig >> np.uint64(33))) * const
+        h = h ^ (h >> np.uint64(29))
+        slot = (h >> shift).astype(xp.int32)
+        v = qms.slots[slot]
+        hit = (
+            ((v >> _QSHIFT_PAY) == (h & rem_mask))
+            & ((v & _QVALID) != 0)
+            & (((v & _QCHOICE) != 0) == (i == 1))
+        )
+        for j in range(1, wq):
+            hit = hit & (qms.sat[j - 1][slot] == words[j])
+        out = xp.where(hit, (v & QPAY_MASK).astype(xp.uint16), out)
+    if int(qms.stash_key64.shape[0]):
+        eq = dig[:, None] == qms.stash_key64[None, :]
+        for j in range(1, wq):
+            eq = eq & (words[j][:, None] == qms.stash_sat[None, :, j - 1])
+        add = xp.sum(
+            xp.where(eq, qms.stash_payload[None, :], xp.zeros((), xp.uint16)).astype(xp.uint16),
+            axis=1,
+        ).astype(xp.uint16)
+        out = out | add
+    return out
 
 
 def lookup_q(qm: QMap, canon_keys, xp=np):

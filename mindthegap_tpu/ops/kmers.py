@@ -96,17 +96,23 @@ def str_to_kmer(s: str) -> int:
     return v
 
 
+def _mask_int(k: int) -> int:
+    """(1 << 2k) - 1 as a python int (any k; the point-query helpers below
+    run on python ints so k > 32 spans work unchanged)."""
+    return (1 << (2 * k)) - 1
+
+
 def mutate_kmer(kmer: int, nuc: int, pos: int, k: int) -> int:
     """Set base at 1-based position ``pos`` (from the start) to ``nuc``
     (reference src/FindSNP.hpp:87-96)."""
     p = k - pos
     reset = ~(3 << (p * 2))
-    return (int(kmer) & reset & int(kmer_mask(k))) | (nuc << (p * 2))
+    return (int(kmer) & reset & _mask_int(k)) | (nuc << (p * 2))
 
 
 def shift_left(kmer: int, nuc: int, k: int) -> int:
     """Append base on the right (out-neighbor): drop leftmost base."""
-    return ((int(kmer) << 2) | nuc) & int(kmer_mask(k))
+    return ((int(kmer) << 2) | nuc) & _mask_int(k)
 
 
 def shift_right(kmer: int, nuc: int, k: int) -> int:

@@ -119,3 +119,66 @@ def test_e2e_find_fill_k45(tmp_path):
     fasta = (tmp_path / "t45.insertions.fasta").read_text().splitlines()
     seqs = [l for l in fasta if not l.startswith(">")]
     assert insertion in seqs, "inserted sequence not assembled at k=45"
+
+
+def test_mutate_kmer_span():
+    """mutate_kmer must work for k > 32 (regression: OverflowError crashed
+    the SNP observers at k = 45; reference src/FindSNP.hpp:87-96)."""
+    from mindthegap_tpu.ops import kmers as K
+
+    k = 45
+    kmer = int("12" * 45, 4)  # alternating C,T pattern, 45 bases
+    out = K.mutate_kmer(kmer, 3, 1, k)  # set first base to G
+    assert (out >> (2 * (k - 1))) & 3 == 3
+    assert out & ((1 << (2 * (k - 1))) - 1) == kmer & ((1 << (2 * (k - 1))) - 1)
+    out = K.mutate_kmer(kmer, 0, k, k)  # set last base to A
+    assert out & 3 == 0
+
+
+@pytest.mark.parametrize("k", [33, 45, 64, 96])
+def test_span_device_scan_parity(k):
+    """scan_planes_device_q_span vs the host multi-word oracle, incl. Ns and
+    the k=33 edge where the (k-1)-mer repeat set is a plain u64 set."""
+    import jax.numpy as jnp
+
+    from mindthegap_tpu.find import scan
+    from mindthegap_tpu.find.scan_device import scan_planes_device_q_span
+    from mindthegap_tpu.ops import extmap as X
+    from mindthegap_tpu.ops import kmers as K
+    from mindthegap_tpu.ops.span import Span
+    from mindthegap_tpu.utils import dna
+
+    rng = np.random.default_rng(k)
+    codes = rng.integers(0, 4, size=12000, dtype=np.uint8)
+    sp, spm1 = Span(k), Span(k - 1)
+    arr, _ = sp.from_codes(codes)
+    solid_keys = np.sort(np.unique(sp.keys(sp.canonical(arr))))
+    solid_rows = sp.from_keys(solid_keys)
+    sub = codes[:2000]
+    if k - 1 <= 32:
+        f, _ = K.kmers_from_codes(sub, k - 1)
+        rep_u64 = np.unique(K.canonical_u64(f, k - 1))
+        rep_keys_host = np.sort(rep_u64)
+        rep_rows = rep_u64.reshape(-1, 1)
+    else:
+        a2, _ = spm1.from_codes(sub)
+        rep_keys_host = np.sort(np.unique(spm1.keys(spm1.canonical(a2))))
+        rep_rows = spm1.from_keys(rep_keys_host)
+
+    test = codes[:5000].copy()
+    test[150] = dna.INVALID
+    host = scan.compute_planes_span(test, k, solid_keys, rep_keys_host)
+
+    qms = X.build_fused_span(solid_rows, k, rep_rows)
+    res = scan_planes_device_q_span(
+        jnp.asarray(test), jnp.asarray(qms.slots), jnp.asarray(qms.sat),
+        jnp.asarray(qms.stash_key64), jnp.asarray(qms.stash_sat),
+        jnp.asarray(qms.stash_payload), qms.salt, qms.log_size, k,
+    )
+    P = test.shape[0] - k + 1
+    m = host.valid
+    for name in ("valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep"):
+        dev = np.asarray(res[name])[:P]
+        np.testing.assert_array_equal(dev[m], getattr(host, name)[m], err_msg=f"k={k} {name}")
+    ints = sp.to_ints(np.asarray(res["fwd_words"])[:, :P].T)
+    assert (ints[m] == host.fwd[m]).all()
