@@ -45,7 +45,7 @@ FIND_OPTIONS = {
     "max-disk": (True, "0", "max disk for graph building (in MBytes)", True),
     "max-memory": (True, "2000", "max memory for graph building (in MBytes)", True),
     "verbose": (True, "1", "verbosity level", True),
-    "scan-engine": (True, "auto", "reference-scan engine: auto | host | device", False),
+    "scan-engine": (True, "auto", "reference-scan engine: auto | host | device | sharded", False),
     "automaton": (True, "auto", "breakpoint automaton: auto | native | host", False),
 }
 

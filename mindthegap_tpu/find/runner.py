@@ -80,6 +80,8 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
         return host_fn
     if k > 32:
         return _make_span_plane_fn(engine, graph, repeat_set, k, host_fn)
+    if engine == "sharded":
+        return _make_sharded_plane_fn(graph, repeat_set, k, host_fn)
     if engine == "auto":
         # the device path pays a table build + XLA compile; only worth it on
         # genome-scale runs with an accelerator attached
@@ -142,6 +144,53 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
         import sys
 
         sys.stderr.write(f"warning: device scan unavailable ({e}); using host scan\n")
+        return host_fn
+
+
+def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 << 18):
+    """Window-sharded scan over the full device mesh (the sequence-parallel
+    axis, SURVEY.md §5.7): each chromosome is cut into k-1-halo'd windows
+    laid out across devices; the fused quotient map is replicated. Output
+    planes are stitched in position order, so every downstream artifact is
+    byte-identical to the single-device run."""
+    try:
+        from ..ops import extmap as X
+        from ..parallel import mesh as M
+        from .scan import Planes
+
+        qm = X.build_fused(graph.solid.kmers, k, repeat_set.kmers)
+        mesh = M.make_mesh()
+        n_dev = mesh.devices.size
+        halo = k - 1
+        step = window - halo
+
+        def sharded_fn(codes):
+            n = codes.shape[0]
+            if n < k:
+                return host_fn(codes)
+            npos = n - k + 1
+            nwin = -(-npos // step)
+            nwin_pad = -(-nwin // n_dev) * n_dev
+            wins = np.full((nwin_pad, window), 255, np.uint8)
+            for i in range(nwin):
+                s = i * step
+                part = codes[s : s + window]
+                wins[i, : part.shape[0]] = part
+            planes = M.sharded_scan_q(mesh, wins, qm, k)
+            outs = {}
+            for key in ("fwd", "valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep"):
+                parts = []
+                for i in range(nwin):
+                    take = min(step, npos - i * step)
+                    parts.append(np.asarray(planes[key][i])[:take])
+                outs[key] = np.concatenate(parts)
+            return Planes(**outs)
+
+        return sharded_fn
+    except Exception as e:
+        import sys
+
+        sys.stderr.write(f"warning: sharded scan unavailable ({e}); using host scan\n")
         return host_fn
 
 

@@ -89,3 +89,34 @@ def test_distributed_count_histogram(tiny_graph):
     for v in cnt.values():
         want[min(v, 100)] += 1
     np.testing.assert_array_equal(ghist, want)
+
+
+def test_sharded_find_end_to_end_identical(tmp_path):
+    """The multi-device window-sharded find must produce byte-identical
+    artifacts to the single-host run (the reference CI pins -nb-cores 1 for
+    determinism; our sharded merge is deterministic by construction —
+    SURVEY.md §4 'multi-host tests ... asserting identical merged
+    artifacts')."""
+    from mindthegap_tpu.find import runner
+
+    data = "/root/reference/data"
+    outs = {}
+    for eng in ("host", "sharded"):
+        prefix = str(tmp_path / f"e2e_{eng}")
+        opts = {
+            "in": f"{data}/reads_r1.fastq,{data}/reads_r2.fastq",
+            "ref": f"{data}/reference.fasta",
+            "out": prefix,
+            "scan-engine": eng,
+            "automaton": "host",
+            "verbose": 0,
+        }
+        import io
+
+        runner.run_find(opts, out=io.StringIO())
+        outs[eng] = (
+            open(prefix + ".breakpoints").read(),
+            [l for l in open(prefix + ".othervariants.vcf") if not l.startswith("##")],
+        )
+    assert outs["host"][0] == outs["sharded"][0], "breakpoints differ across engines"
+    assert outs["host"][1] == outs["sharded"][1], "VCF records differ across engines"
