@@ -2,12 +2,19 @@
 
 Exact port of the reference DP + traceback (src/Utils.cpp:87-189): gap -5,
 mismatch -5, match +10; identity = #diagonal-matches / max(len); traceback
-prefers diagonal, then left (i-1), then up (j-1); terminal gaps handled the
-reference way. Used by solution dedup (>=90% identity) and the nwalign tool.
+prefers diagonal, then up (i-1,j), then left (i,j-1); terminal gaps handled
+the reference way. Used by solution dedup (>=90% identity) and the nwalign
+tool.
 
-A batched anti-diagonal (wavefront) JAX version lives in ``nw_identity_batch``
-for device-side dedup of many candidate pairs at once; it reproduces the same
-tie-breaking.
+``nw_identity`` routes through three equivalent engines:
+- native C++ rolling-row pair-DP (native/nw.cpp) — default, O(m) memory;
+- the full python DP + traceback below (oracle, also returns mis/gap counts);
+- a Pallas anti-diagonal wavefront kernel (nw_device.py) for long pairs on
+  TPU, where the sequential row dependency defeats XLA fusion.
+
+All three reproduce the traceback's tie-breaking exactly (the traceback
+makes purely local decisions on score values, so a forward selection DP
+carrying the match count yields the identical identity).
 """
 
 from __future__ import annotations
@@ -75,5 +82,42 @@ def needleman_wunsch(a: str, b: str):
     return identity, nb_mis, nb_gaps
 
 
+_NW_LIB = None
+_NW_FAILED = False
+
+
+def _load_native():
+    global _NW_LIB, _NW_FAILED
+    if _NW_LIB is not None or _NW_FAILED:
+        return _NW_LIB
+    import ctypes
+    import os
+    import subprocess
+
+    ndir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native"
+    )
+    lib_path = os.path.join(ndir, "libmtgnw.so")
+    src_path = os.path.join(ndir, "nw.cpp")
+    try:
+        if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < os.path.getmtime(src_path):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, src_path],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(lib_path)
+        lib.nw_identity.restype = ctypes.c_double
+        lib.nw_identity.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+        _NW_LIB = lib
+    except Exception:
+        _NW_FAILED = True
+        _NW_LIB = None
+    return _NW_LIB
+
+
 def nw_identity(a: str, b: str) -> float:
+    lib = _load_native()
+    if lib is not None:
+        ab, bb = a.encode(), b.encode()
+        return float(lib.nw_identity(ab, len(ab), bb, len(bb)))
     return needleman_wunsch(a, b)[0]
