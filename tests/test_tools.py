@@ -59,3 +59,39 @@ def test_make_snp_deletions_and_vde(tmp_path):
     out = run([f"{REPO}/scripts/vde.py", "-e", str(eva), "-t", str(eva), "-d", "5"])
     assert "multi_snp,5,0,1.0,1.0" in out
     assert "homo,5,0,1.0,1.0" in out
+
+
+def test_pygatb_compat_shim(tmp_path):
+    """The pyGATB-style Graph/Node facade (mindthegap_tpu/compat/gatb.py)
+    must answer degree/membership queries like the reference's pyGATB
+    (reference scripts/python3/Context_genome_WG.py:1,96-101)."""
+    import numpy as np
+
+    from mindthegap_tpu.compat.gatb import Graph
+    from mindthegap_tpu.graph import dbg
+    from mindthegap_tpu.ops import kmers as K
+    from mindthegap_tpu.utils import dna
+
+    rng = np.random.default_rng(4)
+    k = 21
+    genome = "".join(rng.choice(list("ACGT"), size=3000))
+    codes = dna.seq_to_codes(genome)
+    fwd, _ = K.kmers_from_codes(codes, k)
+    canon = np.unique(K.canonical_u64(fwd, k))
+    solid = dbg.SolidSet(canon, k, np.ones(canon.size, np.int64))
+    g = dbg.Graph(solid, {"kmers_nb_solid": canon.size, "thresholds": 1})
+    g.save(str(tmp_path / "g.h5"))
+
+    graph = Graph("-in %s" % (tmp_path / "g.h5"))
+    assert graph.kmer_size == k
+    kmer = genome[100 : 100 + k]
+    node = graph[kmer]
+    assert kmer in graph
+    assert str(node) == kmer
+    assert bytes(node) == kmer.encode()
+    assert node.reversed == node  # canonical equality, as pyGATB
+    # degrees agree with the graph's own int API
+    fwd_int = int(fwd[100])
+    assert node.in_degree == g.indegree_int(fwd_int)
+    assert node.out_degree == g.outdegree_int(fwd_int)
+    assert node.in_degree >= 1 and node.out_degree >= 1
