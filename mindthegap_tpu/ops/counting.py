@@ -74,10 +74,7 @@ class StreamingCounter:
                 return
             canon = self.span.keys(self.span.canonical(arr[valid]))
         else:
-            fwd, valid = K.kmers_from_codes(codes, self.k)
-            if fwd.size == 0:
-                return
-            canon = K.canonical_u64(fwd[valid], self.k)
+            canon = K.canonical_compact(codes, self.k)
         if canon.size:
             self._pending.append(canon)
             self._pending_n += canon.size
@@ -90,7 +87,18 @@ class StreamingCounter:
         arr = np.concatenate(self._pending)
         self._pending = []
         self._pending_n = 0
-        u, c = np.unique(arr, return_counts=True)
+        # sort + run-length encode (np.unique takes a much slower path on
+        # u64 at this scale: 5.9s vs 0.3s for np.sort on 16M keys)
+        s = np.sort(arr)
+        if s.size == 0:
+            u, c = s, np.zeros(0, np.int64)
+        else:
+            newrun = np.empty(s.size, bool)
+            newrun[0] = True
+            newrun[1:] = s[1:] != s[:-1]
+            idx = np.flatnonzero(newrun)
+            u = s[idx]
+            c = np.diff(idx, append=s.size)
         if self._sorted.size == 0:
             self._sorted, self._counts = u, c.astype(np.int64)
         else:

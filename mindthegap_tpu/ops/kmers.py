@@ -61,6 +61,19 @@ def kmers_from_codes(codes: np.ndarray, k: int):
     n = codes.shape[0]
     if n < k:
         return np.zeros(0, np.uint64), np.zeros(0, bool)
+    lib = _load_native()
+    if lib is not None:
+        import ctypes
+
+        codes_c = np.ascontiguousarray(codes, np.uint8)
+        npos = n - k + 1
+        fwd = np.empty(npos, np.uint64)
+        valid = np.empty(npos, np.uint8)
+        lib.extract_fwd(
+            codes_c.ctypes.data_as(ctypes.c_void_p), n, k,
+            fwd.ctypes.data_as(ctypes.c_void_p), valid.ctypes.data_as(ctypes.c_void_p),
+        )
+        return fwd, valid.astype(bool)
     bad = codes == dna.INVALID
     c = np.where(bad, 0, codes).astype(np.uint64)
     npos = n - k + 1
@@ -76,6 +89,67 @@ def kmers_from_codes(codes: np.ndarray, k: int):
     badc = np.concatenate([[0], badc])
     valid = (badc[k:] - badc[:-k]) == 0
     return fwd, valid
+
+
+_KM_LIB = None
+_KM_FAILED = False
+
+
+def _load_native():
+    """native/kmers.cpp: scalar rolling extraction (~80x the numpy loop)."""
+    global _KM_LIB, _KM_FAILED
+    if _KM_LIB is not None or _KM_FAILED:
+        return _KM_LIB
+    import ctypes
+    import os
+    import subprocess
+
+    ndir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native"
+    )
+    lib_path = os.path.join(ndir, "libmtgkmers.so")
+    src_path = os.path.join(ndir, "kmers.cpp")
+    try:
+        if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < os.path.getmtime(src_path):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, src_path],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(lib_path)
+        lib.extract_fwd.restype = None
+        lib.extract_fwd.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.extract_canonical.restype = ctypes.c_int64
+        lib.extract_canonical.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+        ]
+        _KM_LIB = lib
+    except Exception:
+        _KM_FAILED = True
+        _KM_LIB = None
+    return _KM_LIB
+
+
+def canonical_compact(codes: np.ndarray, k: int) -> np.ndarray:
+    """All valid canonical k-mers of a code array, compacted (the counting
+    stream). Native scalar pass when available, numpy fallback otherwise."""
+    lib = _load_native()
+    if lib is not None and k <= 32:
+        import ctypes
+
+        codes_c = np.ascontiguousarray(codes, np.uint8)
+        n = codes_c.shape[0]
+        if n < k:
+            return np.zeros(0, np.uint64)
+        out = np.empty(n - k + 1, np.uint64)
+        m = lib.extract_canonical(codes_c.ctypes.data_as(ctypes.c_void_p), n, k,
+                                  out.ctypes.data_as(ctypes.c_void_p))
+        return out[:m]
+    fwd, valid = kmers_from_codes(codes, k)
+    if fwd.size == 0:
+        return fwd
+    return canonical_u64(fwd[valid], k)
 
 
 def kmer_to_str(kmer: int, k: int) -> str:

@@ -62,3 +62,33 @@ def test_canonical_min():
     km = np.uint64(K.str_to_kmer(s))
     canon = K.canonical_u64(km, k)
     assert int(canon) == min(int(km), int(K.revcomp_u64(km, k)))
+
+
+def test_native_extraction_parity():
+    """native/kmers.cpp extract_fwd / extract_canonical vs the numpy oracle,
+    including N handling and boundary positions."""
+    from mindthegap_tpu.ops import kmers as K
+    from mindthegap_tpu.utils import dna
+
+    rng = np.random.default_rng(12)
+    for k in (5, 21, 31, 32):
+        codes = rng.integers(0, 4, size=4000, dtype=np.uint8)
+        codes[50] = dna.INVALID
+        codes[51] = dna.INVALID
+        codes[3000:3005] = dna.INVALID
+
+        saved = (K._KM_LIB, K._KM_FAILED)
+        try:
+            K._KM_LIB, K._KM_FAILED = None, True  # numpy oracle
+            f0, v0 = K.kmers_from_codes(codes, k)
+            c0 = K.canonical_compact(codes, k)
+            K._KM_LIB, K._KM_FAILED = None, False  # native
+            if K._load_native() is None:
+                pytest.skip("native kmers unavailable")
+            f1, v1 = K.kmers_from_codes(codes, k)
+            c1 = K.canonical_compact(codes, k)
+        finally:
+            K._KM_LIB, K._KM_FAILED = saved
+        np.testing.assert_array_equal(f0, f1, err_msg=f"fwd k={k}")
+        np.testing.assert_array_equal(v0, v1, err_msg=f"valid k={k}")
+        np.testing.assert_array_equal(c0, c1, err_msg=f"canon k={k}")
