@@ -17,6 +17,69 @@ from ..utils.dna import revcomp_inplace_style
 MAX_BREADTH = 20  # GraphAnalysis.hpp:43
 MAX_CALLS = 10000000  # GraphAnalysis.cpp:250
 
+_FORWARD, _REVCOMP = 0, 1
+_LEFT, _RIGHT = 0, 1
+
+
+def to_dot(contigs: list[str], k: int) -> str:
+    """Render the contig graph in the reference's DOT format
+    (src/GraphOutputDot.cpp print_node/print_edge + src/IGraphOutput.cpp
+    construct_graph/print_edges): `digraph dedebruijn {` header, per node
+    its left (R*) then right (F*) labelled edges, then the node line
+    `<id> [label="SEQ"];`. The reference writes this as the per-gap-fill
+    temporary `.graph` file that GraphAnalysis parses back; here it is an
+    inspection artifact (the pipeline stays in memory)."""
+    from ..ops.span import canonical_int, revcomp_int
+    from ..ops.kmers import str_to_kmer
+
+    km1 = k - 1
+
+    def code_seed(s: str):
+        fwd = str_to_kmer(s)
+        canon = canonical_int(fwd, km1)
+        return canon, _FORWARD if fwd == canon else _REVCOMP
+
+    # kmer_links: canonical (k-1)-extremity -> {(node, strand, left_or_right)}
+    links: dict[int, set] = {}
+    for i, s in enumerate(contigs):
+        lk, ls = code_seed(s[:km1])
+        rk, rs = code_seed(s[len(s) - km1 :])
+        links.setdefault(lk, set()).add((i, ls, _LEFT))
+        links.setdefault(rk, set()).add((i, rs, _RIGHT))
+
+    table0 = {_LEFT: "R", _RIGHT: "F"}
+    table1 = {_LEFT: "F", _RIGHT: "R"}
+    out = ["digraph dedebruijn {"]
+
+    def print_edges(canon, strand, seq_len, direction, node_id):
+        # std::set<node_strand> order: (node, left_or_right, strand)
+        for cur_node, cur_strand, cur_lr in sorted(
+            links.get(canon, ()), key=lambda t: (t[0], t[2], t[1])
+        ):
+            if cur_node == node_id and seq_len == km1:
+                continue
+            label = table0[direction]
+            if cur_lr == direction:
+                if cur_strand != strand:
+                    label += table1[direction]
+                else:
+                    continue
+            else:
+                if cur_strand == strand:
+                    label += table0[direction]
+                else:
+                    continue
+            out.append('%d -> %d [label="%s"];' % (node_id, cur_node, label))
+
+    for i, s in enumerate(contigs):
+        lk, ls = code_seed(s[:km1])
+        rk, rs = code_seed(s[len(s) - km1 :])
+        print_edges(lk, ls, len(s), _LEFT, i)
+        print_edges(rk, rs, len(s), _RIGHT, i)
+        out.append('%d [label="%s"];' % (i, s))
+    out.append("}")
+    return "\n".join(out) + "\n"
+
 
 class ContigGraph:
     def __init__(self, contigs: list[str], k: int):

@@ -136,3 +136,23 @@ def test_median_nth_element():
     assert median([5, 1, 3]) == 3
     assert median([4, 1, 3, 2]) == 2.5
     assert median([7]) == 7
+
+
+def test_contig_graph_dot_output():
+    """to_dot must emit the reference DOT dialect (GraphOutputDot.cpp:
+    digraph header, `a -> b [label="FF"]` edges, node label lines) and its
+    FF edges must agree with ContigGraph's in-memory edge set."""
+    from mindthegap_tpu.fill.contig_graph import ContigGraph, to_dot
+
+    k = 5
+    #          0123456789
+    contigs = ["ACGTACGG", "ACGGTTTT", "TTTTACGT"]  # 0->1->2 via (k-1) overlap
+    dot = to_dot(contigs, k)
+    assert dot.startswith("digraph dedebruijn {\n")
+    assert dot.rstrip().endswith("}")
+    for i, s in enumerate(contigs):
+        assert '%d [label="%s"];' % (i, s) in dot
+    g = ContigGraph(contigs, k)
+    for a, outs in g.out_edges.items():
+        for b in outs:
+            assert ("%d -> %d" % (a, b)) in dot, f"FF edge {a}->{b} missing from DOT"
