@@ -57,31 +57,91 @@ class TraversalPolicy:
     max_nodes_strict: bool = False     # break when nbNodes >= max_nodes (else >)
 
 
-class GraphView:
-    """Forward-kmer graph interface backed by a plain python set of canonical
-    kmers (python ints — works for every span) — the traversal's point
-    queries dwarf numpy call overhead."""
+_M64 = (1 << 64) - 1
+_H1I = 0x9E3779B97F4A7C15
+_H2I = 0xC2B2AE3D27D4EB4F
 
-    def __init__(self, graph):
+
+def _shuffle02_int(v: int) -> int:
+    """Permute 4-bit bitmap positions b -> b^2 (complement is code^2)."""
+    return ((v & 0b0011) << 2) | ((v >> 2) & 0b0011)
+
+
+class GraphView:
+    """Forward-kmer graph interface for the traversal's point queries.
+
+    Backed by the fused quotient map (ops/extmap.py QMap) over canonical
+    (k-1)-mers: ONE scalar table probe yields the full successor set (ext
+    bits) or predecessor set (pre bits) of a node — exact, and sharing the
+    structure the device walker (fill/walk_device.py) gathers from. For
+    k > 32 spans, falls back to binary-search point queries on the sorted
+    solid set (no python-set materialization at any k)."""
+
+    def __init__(self, graph, qmap=None):
         self.g = graph
         self.k = graph.k
-        self.kmer_set = set(graph.solid.to_int_array())
         self._succ: dict[int, tuple] = {}
         self._pred: dict[int, tuple] = {}
+        self.qm = None
+        if graph.k <= 32:
+            from ..ops import extmap as X
+
+            self.qm = qmap if qmap is not None else X.build_fused(
+                graph.solid.keys, graph.k, np.zeros(0, np.uint64)
+            )
+            self._slots = self.qm.slots
+            self._log_size = self.qm.log_size
+            self._stash = {
+                int(sk): int(sv)
+                for sk, sv in zip(self.qm.stash_keys, self.qm.stash_payload)
+                if sk != np.uint64(0xFFFFFFFFFFFFFFFF)
+            }
+
+    # -- scalar fused-map probe (python ints; exact) -----------------------
+    def _payload_int(self, key: int) -> int:
+        shift = 64 - self._log_size
+        rem = (1 << shift) - 1
+        for i, const in enumerate((_H1I, _H2I)):
+            h = ((key ^ (key >> 33)) * const) & _M64
+            h ^= h >> 29
+            v = int(self._slots[h >> shift])
+            if (v & 1024) and (v >> 11) == (h & rem) and bool(v & 512) == (i == 1):
+                return v & 0x1FF
+        return self._stash.get(key, 0)
+
+    def _ext_bits(self, q: int) -> int:
+        """Which bases x make q.x a solid k-mer ((k-1)-mer q as read)."""
+        cq = canonical_int(q, self.k - 1)
+        pay = self._payload_int(cq)
+        return pay & 0xF if q == cq else _shuffle02_int((pay >> 4) & 0xF)
+
+    def _pre_bits(self, q: int) -> int:
+        """Which bases y make y.q a solid k-mer ((k-1)-mer q as read)."""
+        cq = canonical_int(q, self.k - 1)
+        pay = self._payload_int(cq)
+        return (pay >> 4) & 0xF if q == cq else _shuffle02_int(pay & 0xF)
 
     def contains_fwd(self, fwd: int) -> bool:
-        return canonical_int(fwd, self.k) in self.kmer_set
+        if self.qm is not None:
+            return bool((self._ext_bits(fwd >> 2) >> (fwd & 3)) & 1)
+        return self.g.solid.contains_int(canonical_int(fwd, self.k))
 
     def successors(self, fwd: int):
         r = self._succ.get(fwd)
         if r is None:
             mask = (1 << (2 * self.k)) - 1
-            r = tuple(
-                (nt, nxt)
-                for nt in range(4)
-                for nxt in [((fwd << 2) | nt) & mask]
-                if self.contains_fwd(nxt)
-            )
+            if self.qm is not None:
+                ext = self._ext_bits(fwd & ((1 << (2 * (self.k - 1))) - 1))
+                r = tuple(
+                    (nt, ((fwd << 2) | nt) & mask) for nt in range(4) if (ext >> nt) & 1
+                )
+            else:
+                r = tuple(
+                    (nt, nxt)
+                    for nt in range(4)
+                    for nxt in [((fwd << 2) | nt) & mask]
+                    if self.contains_fwd(nxt)
+                )
             self._succ[fwd] = r
         return r
 
@@ -89,12 +149,18 @@ class GraphView:
         r = self._pred.get(fwd)
         if r is None:
             shift = 2 * (self.k - 1)
-            r = tuple(
-                (nt, prv)
-                for nt in range(4)
-                for prv in [(fwd >> 2) | (nt << shift)]
-                if self.contains_fwd(prv)
-            )
+            if self.qm is not None:
+                pre = self._pre_bits(fwd >> 2)
+                r = tuple(
+                    (nt, (fwd >> 2) | (nt << shift)) for nt in range(4) if (pre >> nt) & 1
+                )
+            else:
+                r = tuple(
+                    (nt, prv)
+                    for nt in range(4)
+                    for prv in [(fwd >> 2) | (nt << shift)]
+                    if self.contains_fwd(prv)
+                )
             self._pred[fwd] = r
         return r
 
