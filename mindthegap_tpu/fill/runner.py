@@ -23,7 +23,13 @@ from ..utils import dna, stdcompat
 from ..utils.progress import Progress
 from ..utils.properties import Properties
 from .contig_graph import ContigGraph
-from .traversal import GraphView, TraversalPolicy, construct_linear_seqs
+from .traversal import (
+    GraphView,
+    TraversalPolicy,
+    construct_linear_seqs_co,
+    drive,
+    host_walk,
+)
 from .types import FilledInsertion, InfoNode, median, remove_almost_identical_solutions
 
 U64 = (1 << 64) - 1
@@ -142,6 +148,7 @@ class Filler:
                 int(opts.get("kmer-size", 31)),
                 opts.get("abundance-min", "auto"),
                 int(opts.get("abundance-max", 2147483647)),
+                count_engine=str(opts.get("count-engine", "auto")),
             )
         else:
             sys.stderr.write("Loading the graph...")
@@ -167,6 +174,7 @@ class Filler:
         self.filter = bool(opts.get("filter"))
         self.fwd_only = bool(opts.get("fwd-only"))
         self.extend = bool(opts.get("extend"))
+        self.fill_engine = str(opts.get("fill-engine", "auto"))
 
         self.insert_file_name = prefix + ".insertions.fasta"
         self.insert_file = open(self.insert_file_name, "w")
@@ -214,6 +222,10 @@ class Filler:
     def _bkpt_job(self, prev, rec):
         """Compute one breakpoint job; returns everything the writers need.
         Pure with respect to output files (parallel-safe)."""
+        return drive(self._bkpt_job_co(prev, rec), lambda n, b: host_walk(self.view, n, b))
+
+    def _bkpt_job_co(self, prev, rec):
+        """Coroutine form of _bkpt_job (yields walk requests for batching)."""
         source_seq = prev.seq
         breakpoint_name = prev.comment_short
         begin_kmer_repeated = "REPEATED" in prev.comment
@@ -226,7 +238,7 @@ class Filler:
         target_dict = {target_seq: (breakpoint_name_r, False)}
         infostring = [""]
         extension_seq = [""]
-        self.gap_fill_from_source(
+        yield from self.gap_fill_from_source_co(
             infostring, source_seq, target_seq, filled, target_dict,
             is_anchor_repeated, False, extension_seq,
         )
@@ -237,7 +249,7 @@ class Filler:
             target_dict = {target_seq2: (breakpoint_name, False)}
             source_seq2 = dna.revcomp(target_seq)
             breakpoint_name = breakpoint_name_r
-            self.gap_fill_from_source(
+            yield from self.gap_fill_from_source_co(
                 infostring, source_seq2, target_seq2, filled, target_dict,
                 is_anchor_repeated, True, extension_seq_rev,
             )
@@ -262,10 +274,28 @@ class Filler:
             else:
                 pairs.append((prev, rec))
         progress = Progress(len(pairs), "Filling the breakpoints", enabled=self.verbose > 0)
-        for result in self._parallel_map(self._bkpt_job, pairs):
+        for result in self._run_jobs(self._bkpt_job, self._bkpt_job_co, pairs):
             self._write_bkpt_result(result)
             progress.inc()
         progress.finish()
+
+    # ------------------------------------------------------------------
+    # job dispatch: host process pool (the GATB Dispatcher analog) or the
+    # device-batched walker (jobs ride vector lanes; fill/walk_device.py)
+    # ------------------------------------------------------------------
+    def _run_jobs(self, fn, co_fn, jobs):
+        engine = self.fill_engine
+        if engine == "device" and self.view.qm is None:
+            sys.stderr.write("Warning: -fill-engine device requires kmer-size <= 32; using host\n")
+            engine = "host"
+        if engine == "device":
+            from .walk_device import BatchWalker, run_jobs_batched
+
+            walker = BatchWalker(self.view.qm, self.k)
+            gens = [co_fn(*j) for j in jobs]
+            yield from run_jobs_batched(gens, walker)
+        else:
+            yield from self._parallel_map(fn, jobs)
 
     # ------------------------------------------------------------------
     # host-parallel dispatcher (the GATB Dispatcher equivalent, reference
@@ -334,12 +364,18 @@ class Filler:
 
         self._all_target_dict = all_target_dict
         progress = Progress(len(seed_records), "Filling the contigs", enabled=self.verbose > 0)
-        for result in self._parallel_map(self._contig_job, seed_records):
+        for result in self._run_jobs(self._contig_job, self._contig_job_co, seed_records):
             self._write_contig_result(result)
             progress.inc()
         progress.finish()
 
     def _contig_job(self, seed_name: str, source_seq: str):
+        return drive(
+            self._contig_job_co(seed_name, source_seq),
+            lambda n, b: host_walk(self.view, n, b),
+        )
+
+    def _contig_job_co(self, seed_name: str, source_seq: str):
         all_target_dict = self._all_target_dict
         is_rc = len(seed_name) >= 3 and seed_name.endswith("_Rc")
 
@@ -355,7 +391,7 @@ class Filler:
         filled: list[FilledInsertion] = []
         infostring = [""]
         extension_seq = [""]
-        self.gap_fill_from_source(
+        yield from self.gap_fill_from_source_co(
             infostring, source_seq, conc_target_seq, filled, target_dict,
             False, False, extension_seq,
         )
@@ -385,9 +421,21 @@ class Filler:
         self, infostring, source_seq, target_seq, filled, target_dict,
         is_anchor_repeated, reverse, extension_out,
     ):
+        return drive(
+            self.gap_fill_from_source_co(
+                infostring, source_seq, target_seq, filled, target_dict,
+                is_anchor_repeated, reverse, extension_out,
+            ),
+            lambda n, b: host_walk(self.view, n, b),
+        )
+
+    def gap_fill_from_source_co(
+        self, infostring, source_seq, target_seq, filled, target_dict,
+        is_anchor_repeated, reverse, extension_out,
+    ):
         nb_mis_allowed = 0 if is_anchor_repeated else self.nb_mis_allowed
 
-        contigs = construct_linear_seqs(
+        contigs = yield from construct_linear_seqs_co(
             self.graph, source_seq, target_seq, self.max_depth, self.max_nodes,
             swf=True, policy=self.policy, view=self.view,
         )

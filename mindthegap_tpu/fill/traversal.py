@@ -270,8 +270,40 @@ def _explore_branching(view: GraphView, term: Terminator, node: int, policy: Tra
     return consensus, end
 
 
-def traverse_right(view: GraphView, term: Terminator, start: int, policy: TraversalPolicy, maxlen: int):
-    """Extend a contig to the right from `start`.
+def host_walk(view: GraphView, node: int, budget: int):
+    """The scalar walk engine: extend a pure simple path from `node` for at
+    most `budget` bases. Stops BEFORE anything the traversal automaton has an
+    opinion about — a tip, a fork, an in-branching successor, or a branching
+    next node — and hands control back. The device engine
+    (fill/walk_device.py walk_batch_device) implements exactly this contract
+    batched over jobs; both drive the same coroutine (traverse_right_co).
+
+    Returns (bases: list[int], end_node, reason) with reason in
+    {"tip", "event", "budget"}."""
+    bases: list[int] = []
+    while len(bases) < budget:
+        succs = view.successors(node)
+        if len(succs) == 0:
+            return bases, node, "tip"
+        if len(succs) > 1:
+            return bases, node, "event"
+        nt, nxt = succs[0]
+        # predecessors(nxt) > 1 covers both the in_branch_stop fork check and
+        # half of is_branching(nxt); successors(nxt) != 1 is the other half.
+        if len(view.predecessors(nxt)) > 1:
+            return bases, node, "event"
+        if len(view.successors(nxt)) != 1:
+            return bases, node, "event"
+        bases.append(nt)
+        node = nxt
+    return bases, node, "budget"
+
+
+def traverse_right_co(view: GraphView, term: Terminator, start: int, policy: TraversalPolicy, maxlen: int):
+    """Coroutine form of the right-extension loop: yields ("walk", node,
+    budget) requests for the uninterrupted simple-path stretches (satisfied
+    by host_walk or the batched device walker) and replays the reference's
+    per-branching-event logic on the sparse events in between.
 
     Returns (sequence, end_kmer, stop_reason) with stop_reason in
     {"tip", "fork", "merge", "marked", "maxlen"}."""
@@ -280,8 +312,18 @@ def traverse_right(view: GraphView, term: Terminator, start: int, policy: Traver
     node = start
     reason = "maxlen"
     while slen < maxlen:
+        bases, node, wreason = yield ("walk", node, maxlen - slen)
+        if bases:
+            seq.append("".join("ACTG"[b] for b in bases))
+            slen += len(bases)
+        if wreason == "budget":
+            break  # slen reached maxlen; reason stays "maxlen"
+        if wreason == "tip":
+            reason = "tip"
+            break
+        # wreason == "event": replay ONE iteration of the reference loop body
         succs = view.successors(node)
-        if len(succs) == 0:
+        if len(succs) == 0:  # unreachable (tips stop the walker) — kept for safety
             reason = "tip"
             break
         if len(succs) > 1 or (
@@ -312,7 +354,28 @@ def traverse_right(view: GraphView, term: Terminator, start: int, policy: Traver
     return "".join(seq), node, reason
 
 
-def construct_linear_seqs(
+def drive(gen, walk_fn):
+    """Run a traversal coroutine to completion against a walk engine."""
+    try:
+        req = next(gen)
+        while True:
+            req = gen.send(walk_fn(req[1], req[2]))
+    except StopIteration as e:
+        return e.value
+
+
+def traverse_right(view: GraphView, term: Terminator, start: int, policy: TraversalPolicy, maxlen: int):
+    """Extend a contig to the right from `start` (host walk engine).
+
+    Returns (sequence, end_kmer, stop_reason) with stop_reason in
+    {"tip", "fork", "merge", "marked", "maxlen"}."""
+    return drive(
+        traverse_right_co(view, term, start, policy, maxlen),
+        lambda node, budget: host_walk(view, node, budget),
+    )
+
+
+def construct_linear_seqs_co(
     graph,
     L: str,
     R: str,
@@ -322,7 +385,8 @@ def construct_linear_seqs(
     policy: TraversalPolicy | None = None,
     view: GraphView | None = None,
 ):
-    """The IterativeExtensions::construct_linear_seqs equivalent.
+    """Coroutine form of construct_linear_seqs: yields walk requests (via
+    traverse_right_co) so many jobs can share one batched device walker.
 
     Returns the ordered list of contig strings (node id = list index)."""
     policy = policy or TraversalPolicy()
@@ -361,7 +425,7 @@ def construct_linear_seqs(
                 continue
         if policy.start_mark and view.is_branching(cur):
             term.mark(cur)
-        seq, last, reason = traverse_right(view, term, cur, policy, max_depth)
+        seq, last, reason = yield from traverse_right_co(view, term, cur, policy, max_depth)
         contigs.append(seq)
         hit = swf_hit(seq)
         if hit and not policy.swf_noextend:
@@ -381,3 +445,24 @@ def construct_linear_seqs(
         for _, nxt in view.successors(last):
             queue.append((nxt, new_depth))
     return contigs
+
+
+def construct_linear_seqs(
+    graph,
+    L: str,
+    R: str,
+    max_depth: int,
+    max_nodes: int,
+    swf: bool,
+    policy: TraversalPolicy | None = None,
+    view: GraphView | None = None,
+):
+    """The IterativeExtensions::construct_linear_seqs equivalent (host walk
+    engine; reference src/Filler.cpp:866-884).
+
+    Returns the ordered list of contig strings (node id = list index)."""
+    view = view or GraphView(graph)
+    return drive(
+        construct_linear_seqs_co(graph, L, R, max_depth, max_nodes, swf, policy, view),
+        lambda node, budget: host_walk(view, node, budget),
+    )

@@ -1,0 +1,205 @@
+"""Device-batched fill walker: simple-path extension over many jobs at once.
+
+The `fill` hot loop (reference src/Filler.cpp:854-884: per-breakpoint bounded
+BFS in the DBG via IterativeExtensions) spends nearly all of its probes on
+*uninterrupted simple-path stretches* — per extended base one successor-set
+query plus one in-branching check. The traversal automaton
+(fill/traversal.py) yields exactly those stretches as ("walk", node, budget)
+requests; this module satisfies them for J jobs simultaneously on the
+accelerator:
+
+  per step, per job: ONE fused quotient-map lookup (ops/extmap.py QMap,
+  2 HBM gathers) yields the successor bitmap of `node` AND the predecessor
+  bitmap of its unique successor; a second carried lookup (the next step's
+  first) gives the successor bitmap of the successor — everything the walk
+  contract needs:
+
+    stop "tip"    when node has no successor
+    stop "event"  when node forks (>1 successors), the successor has >1
+                  predecessors, or the successor is out-branching — the
+                  sparse cases the host automaton replays exactly
+                  (bubble/tip crossing, terminator marks)
+    stop "budget" when the per-job base budget (max_depth) is exhausted
+
+  Consecutive appended bases therefore occupy the first n_appended slots of
+  each job's output row.
+
+This is the SPMD shape SURVEY.md §2.3 calls for ("per-job frontier tensor,
+neighbor-expansion kernel"): jobs ride the vector lanes, steps are a
+lax.scan, and the map is replicated (or mesh-sharded via shard_map in
+parallel/mesh.py walk_batch_sharded).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import extmap as X
+from ..ops import kmers as K
+
+STATUS_RUNNING = 0  # budget/steps exhausted; resume from end_node
+STATUS_TIP = 1
+STATUS_EVENT = 2
+
+NO_BASE = 255
+
+
+def _popcount4(bits):
+    return (
+        ((bits >> 0) & 1) + ((bits >> 1) & 1) + ((bits >> 2) & 1) + ((bits >> 3) & 1)
+    ).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("log_size", "k", "steps"))
+def walk_batch_device(nodes, budgets, slots, stash_k, stash_v, log_size: int, k: int, steps: int):
+    """Advance J simple-path walks by up to `steps` bases each.
+
+    nodes:   u64[J] current k-mers (forward orientation)
+    budgets: i32[J] remaining per-job base budgets
+
+    Returns (bases u8[J, steps] — appended base codes, NO_BASE padding;
+    n_appended i32[J]; end_nodes u64[J]; status u8[J])."""
+    qm = X.QMap(slots, log_size, stash_k, stash_v)
+    mask_k = K.kmer_mask(k)
+    mask_q = K.kmer_mask(k - 1)
+
+    def ext_pre_of(node):
+        """(ext, pre) bitmaps of the (k-1)-suffix of `node`, as-read strand:
+        ext = successor set of node, pre = predecessor set of node's unique
+        successor (both share that (k-1)-mer)."""
+        q = node & mask_q
+        cq = K.canonical_u64(q, k - 1, jnp)
+        pay16 = X.lookup_q(qm, cq, xp=jnp)
+        pay8 = (pay16 & jnp.uint16(0xFF)).astype(jnp.uint8)
+        return X._oriented(pay8, q == cq, jnp)
+
+    ext0, pre0 = ext_pre_of(nodes)
+
+    def step(carry, _):
+        node, ext, pre, n_app, status = carry
+        within = n_app < budgets
+        live = (status == STATUS_RUNNING) & within
+
+        cnt_out = _popcount4(ext)
+        tip = cnt_out == 0
+        fork = cnt_out > 1
+        # single-successor base: with exactly one bit set, x = its index
+        x = (((ext >> 1) & 1) + 2 * ((ext >> 2) & 1) + 3 * ((ext >> 3) & 1)).astype(jnp.uint64)
+        nxt = ((node << jnp.uint64(2)) | x) & mask_k
+        merge = _popcount4(pre) > 1  # predecessors(nxt) > 1
+
+        ext2, pre2 = ext_pre_of(nxt)
+        branch2 = _popcount4(ext2) != 1  # successors(nxt) != 1 => is_branching(nxt)
+
+        stop_tip = live & tip
+        stop_event = live & ~tip & (fork | merge | branch2)
+        append = live & ~tip & ~fork & ~merge & ~branch2
+
+        base_out = jnp.where(append, x.astype(jnp.uint8), jnp.uint8(NO_BASE))
+        status = jnp.where(stop_tip, jnp.uint8(STATUS_TIP), status)
+        status = jnp.where(stop_event, jnp.uint8(STATUS_EVENT), status)
+        node = jnp.where(append, nxt, node)
+        ext = jnp.where(append, ext2, ext)
+        pre = jnp.where(append, pre2, pre)
+        n_app = n_app + append.astype(jnp.int32)
+        return (node, ext, pre, n_app, status), base_out
+
+    init = (nodes, ext0, pre0, jnp.zeros(nodes.shape, jnp.int32), jnp.zeros(nodes.shape, jnp.uint8))
+    (node, _, _, n_app, status), bases = jax.lax.scan(step, init, None, length=steps)
+    return bases.T, n_app, node, status
+
+
+class BatchWalker:
+    """Host driver: satisfies batches of ("walk", node, budget) requests with
+    walk_batch_device, re-invoking in `steps`-sized chunks until every lane
+    has stopped. Lane counts are padded to powers of two and step counts
+    escalate geometrically so only a handful of shapes ever compile."""
+
+    def __init__(self, qmap: X.QMap, k: int, min_lanes: int = 8, steps: int = 64, max_steps: int = 1024):
+        self.k = k
+        self.log_size = qmap.log_size
+        self.slots = jnp.asarray(qmap.slots)
+        self.stash_k = jnp.asarray(qmap.stash_keys)
+        self.stash_v = jnp.asarray(qmap.stash_payload)
+        self.min_lanes = min_lanes
+        self.steps = steps
+        self.max_steps = max_steps
+        self.n_device_calls = 0
+        self.n_walked = 0
+
+    def walk_many(self, requests):
+        """requests: list of (node:int, budget:int). Returns a list of
+        (bases: list[int], end_node: int, reason: str) in request order."""
+        n = len(requests)
+        if n == 0:
+            return []
+        lanes = max(self.min_lanes, 1 << (n - 1).bit_length())
+        nodes = np.zeros(lanes, np.uint64)
+        budgets = np.zeros(lanes, np.int32)
+        for i, (node, budget) in enumerate(requests):
+            nodes[i] = node
+            budgets[i] = max(budget, 0)
+
+        out_bases: list[list[int]] = [[] for _ in range(n)]
+        remaining = budgets.copy()
+        status = np.zeros(lanes, np.uint8)
+        steps = self.steps
+        while True:
+            live = (status == STATUS_RUNNING) & (remaining > 0)
+            if not live.any():
+                break
+            bases, n_app, end_nodes, st = walk_batch_device(
+                jnp.asarray(nodes), jnp.asarray(np.where(live, remaining, 0)),
+                self.slots, self.stash_k, self.stash_v,
+                self.log_size, self.k, steps,
+            )
+            bases = np.asarray(bases)
+            n_app = np.asarray(n_app)
+            nodes = np.asarray(end_nodes)
+            st = np.asarray(st)
+            self.n_device_calls += 1
+            for i in np.nonzero(live[:n])[0]:
+                if n_app[i]:
+                    out_bases[i].extend(int(b) for b in bases[i, : n_app[i]])
+            remaining = remaining - n_app
+            status = np.where(live, st, status)
+            self.n_walked += int(n_app[live].sum())
+            steps = min(steps * 2, self.max_steps)
+
+        results = []
+        for i in range(n):
+            st = int(status[i])
+            reason = "tip" if st == STATUS_TIP else ("event" if st == STATUS_EVENT else "budget")
+            results.append((out_bases[i], int(nodes[i]), reason))
+        return results
+
+
+def run_jobs_batched(gens, walker: BatchWalker):
+    """Drive many traversal coroutines concurrently: collect every pending
+    ("walk", node, budget) request, satisfy the whole batch on device, feed
+    results back, repeat. Jobs block only on walks, so batches stay full
+    until the long tail drains. Returns each coroutine's return value, in
+    input order."""
+    results = [None] * len(gens)
+    pending: dict[int, tuple] = {}
+
+    def advance(i, value, first):
+        try:
+            req = next(gens[i]) if first else gens[i].send(value)
+            pending[i] = req
+        except StopIteration as e:
+            results[i] = e.value
+
+    for i in range(len(gens)):
+        advance(i, None, True)
+    while pending:
+        idxs = sorted(pending)
+        reqs = [pending.pop(i) for i in idxs]
+        outs = walker.walk_many([(r[1], r[2]) for r in reqs])
+        for i, out in zip(idxs, outs):
+            advance(i, out, False)
+    return results

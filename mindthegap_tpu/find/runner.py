@@ -300,6 +300,7 @@ def run_find(opts: dict, out=None) -> Properties:
             int(opts.get("kmer-size", 31)),
             opts.get("abundance-min", "auto"),
             int(opts.get("abundance-max", 2147483647)),
+            count_engine=str(opts.get("count-engine", "auto")),
         )
         k = int(opts.get("kmer-size", 31))
         graph.save(prefix + ".h5")

@@ -224,11 +224,21 @@ def build_graph(
     k: int,
     abundance_min: str | int = "auto",
     abundance_max: int = 2147483647,
+    count_engine: str = "auto",
 ) -> Graph:
-    """Count reads and build the solid-kmer graph (Graph::create equivalent)."""
+    """Count reads and build the solid-kmer graph (Graph::create equivalent).
+
+    count_engine: "host" (numpy/native sort+RLE), "device" (per-batch k-mer
+    extraction + sort on the accelerator, ops/counting_device.py), or "auto"
+    (host)."""
     from ..io.bank import iter_codes
 
-    counter = counting.StreamingCounter(k)
+    if count_engine == "device" and k <= 32:
+        from ..ops.counting_device import DeviceStreamingCounter
+
+        counter = DeviceStreamingCounter(k)
+    else:
+        counter = counting.StreamingCounter(k)
     for _hdr, codes in iter_codes(reads_uri):
         counter.add_codes(codes)
     res = counter.result()

@@ -116,13 +116,46 @@ def distributed_count_step(mesh: Mesh, read_codes: np.ndarray, k: int, histo_max
     return np.asarray(kmers_runs), np.asarray(ghist)
 
 
+def walk_batch_sharded(mesh: Mesh, nodes: np.ndarray, budgets: np.ndarray, qmap, k: int, steps: int = 64):
+    """Job-sharded fill walking: the batched simple-path walker
+    (fill/walk_device.py walk_batch_device) with its job-lane axis laid out
+    over the mesh and the fused quotient map replicated — the multi-chip
+    shape of the reference's Dispatcher fan-out over gap-fill jobs
+    (src/Filler.cpp:824,844; SURVEY.md §2.3). Lanes must divide the mesh
+    size (BatchWalker pads to powers of two)."""
+    from ..fill.walk_device import walk_batch_device
+
+    axis = mesh.axis_names[0]
+    lane_sharding = NamedSharding(mesh, P(axis))
+    rep_sharding = NamedSharding(mesh, P())
+
+    nodes_d = jax.device_put(jnp.asarray(nodes, jnp.uint64), lane_sharding)
+    budgets_d = jax.device_put(jnp.asarray(budgets, jnp.int32), lane_sharding)
+    slots_d = jax.device_put(jnp.asarray(qmap.slots), rep_sharding)
+    sk_d = jax.device_put(jnp.asarray(qmap.stash_keys), rep_sharding)
+    sv_d = jax.device_put(jnp.asarray(qmap.stash_payload), rep_sharding)
+
+    fn = jax.shard_map(
+        partial(walk_batch_device, log_size=qmap.log_size, k=k, steps=steps),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis), P(axis), P(axis)),
+    )
+    bases, n_app, end_nodes, status = jax.jit(fn)(nodes_d, budgets_d, slots_d, sk_d, sv_d)
+    return (np.asarray(bases), np.asarray(n_app), np.asarray(end_nodes), np.asarray(status))
+
+
 def pipeline_step(mesh: Mesh, read_codes: np.ndarray, windows: np.ndarray, solid_sorted, repeat_sorted, k: int):
     """A full multi-chip 'step': distributed counting (dp axis with psum) +
-    window-sharded scan (sp axis) over the fused quotient map. Used by the
-    multichip dry run."""
+    window-sharded scan (sp axis) + job-sharded fill walking, all over the
+    fused quotient map. Used by the multichip dry run."""
     from ..ops import extmap as X
 
     runs, ghist = distributed_count_step(mesh, read_codes, k)
     qm = X.build_fused(np.asarray(solid_sorted, np.uint64), k, np.asarray(repeat_sorted, np.uint64))
     planes = sharded_scan_q(mesh, windows, qm, k)
-    return runs, ghist, planes
+    n_dev = mesh.devices.size
+    nodes = np.asarray(solid_sorted, np.uint64)[: 2 * n_dev]
+    budgets = np.full(nodes.shape, 32, np.int32)
+    walk = walk_batch_sharded(mesh, nodes, budgets, qm, k, steps=16)
+    return runs, ghist, planes, walk

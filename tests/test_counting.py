@@ -62,3 +62,30 @@ def test_contig_reads_solidity(refdir):
     g = dbg.build_graph(f"{refdir}/data/contig-reads.fasta.gz", 31, 3)
     assert g.info["kmers_nb_solid"] == 10194
     assert g.info["nb_branching"] == 46
+
+
+def test_device_counter_matches_host():
+    """DeviceStreamingCounter (extract+sort on device) must reproduce the
+    host counter exactly — keys, counts, histogram — including mid-read
+    buffer splits (tiny batch forces them)."""
+    import numpy as np
+
+    from mindthegap_tpu.io.bank import iter_codes
+    from mindthegap_tpu.ops.counting import StreamingCounter
+    from mindthegap_tpu.ops.counting_device import DeviceStreamingCounter
+
+    k = 21
+    host = StreamingCounter(k)
+    dev = DeviceStreamingCounter(k, batch_bases=1 << 12)  # force many splits
+    n = 0
+    for _h, codes in iter_codes("/root/reference/data/reads_r1.fastq"):
+        host.add_codes(codes)
+        dev.add_codes(codes)
+        n += 1
+        if n >= 400:
+            break
+    hr = host.result()
+    dr = dev.result()
+    assert np.array_equal(hr.kmers, dr.kmers)
+    assert np.array_equal(hr.counts, dr.counts)
+    assert np.array_equal(hr.histogram, dr.histogram)
