@@ -120,3 +120,15 @@ def test_sharded_find_end_to_end_identical(tmp_path):
         )
     assert outs["host"][0] == outs["sharded"][0], "breakpoints differ across engines"
     assert outs["host"][1] == outs["sharded"][1], "VCF records differ across engines"
+
+
+def test_shard_bounds_partition():
+    from mindthegap_tpu.parallel.distributed import shard_bounds
+
+    for n, s in [(0, 4), (7, 3), (8, 8), (100, 7), (3, 5)]:
+        spans = [shard_bounds(n, s, i) for i in range(s)]
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b == c and b - a >= 0
+        sizes = [b - a for a, b in spans]
+        assert max(sizes) - min(sizes) <= 1
