@@ -1,19 +1,32 @@
 #!/usr/bin/env python3
-"""Benchmark: find-scan plane throughput on the local accelerator.
+"""Benchmark: the three BASELINE.md metrics on the local accelerator.
 
-Measures the flagship device pass — the `find` hot loop (per reference base:
-canonical membership, fwd-strand in/out degrees, and two (k-1)-mer repeat
-bits; reference src/FindBreakpoints.hpp:560-622 / SURVEY.md §3.1) — using
-the fused quotient map (mindthegap_tpu/ops/extmap.py QMap, ~2 HBM gathers
-per base), on a genome-scale synthetic instance, against the single-core
-numpy host oracle (the exact reimplementation of the reference's sequential
-probe loop) measured in the same run.
+  1. find ref-bases/s/chip   — the flagship `find` plane pass (per reference
+     base: canonical membership, fwd-strand in/out degrees, two (k-1)-mer
+     repeat bits; reference src/FindBreakpoints.hpp:560-622) over the fused
+     quotient map (mindthegap_tpu/ops/extmap.py, ~2 HBM gathers/base).
+  2. graph-build kmers/s/chip — streaming canonical k-mer counting
+     (the DSK equivalent, reference hot loop #1 per SURVEY.md §3): device
+     extract+sort batches + host run merge (ops/counting_device.py).
+  3. fill gap-fills/s        — bounded local-assembly jobs (reference
+     src/Filler.cpp:854-884) through the device-batched walker
+     (fill/walk_device.py run_jobs_batched).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline divides by PINNED single-core host-oracle rates measured on
+this machine (median-of-5, recorded in BASELINE.json "published" by
+`python bench.py --calibrate`) — a fixed denominator, so round-over-round
+deltas track the device numerator only. The C++ reference binary cannot be
+built here (gatb-core submodule absent upstream), so the host oracles (the
+exact numpy/native reimplementations of the reference loops) are the
+baseline, per BASELINE.md "self-measured".
+
+Prints ONE json line:
+  {"metric", "value", "unit", "vs_baseline", "extra": {...other metrics}}
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,59 +34,226 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+K = 31
+GENOME_BITS = 24  # 16 Mbases synthetic genome
+COUNT_BASES = 1 << 24
+FILL_JOBS = 256
+FILL_DEPTH = 400
 
-def main():
+
+def _synth(seed=42):
+    from mindthegap_tpu.ops import kmers as Kk
+
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, size=1 << GENOME_BITS, dtype=np.uint8)
+    fwd, _ = Kk.kmers_from_codes(genome, K)
+    solid = np.unique(Kk.canonical_u64(fwd, K))
+    repeat = np.unique(Kk.canonical_u64(fwd[: 1 << 19] & Kk.kmer_mask(K - 1), K - 1))
+    return genome, fwd, solid, repeat
+
+
+def _reads_from(genome, n_bases, read_len=150, seed=7):
+    rng = np.random.default_rng(seed)
+    n_reads = n_bases // read_len
+    starts = rng.integers(0, genome.size - read_len, size=n_reads)
+    return [genome[s : s + read_len] for s in starts]
+
+
+def bench_scan(genome, solid, repeat):
     import jax.numpy as jnp
 
-    from mindthegap_tpu.find import scan
     from mindthegap_tpu.find.scan_device import scan_planes_device_q
     from mindthegap_tpu.ops import extmap as X
-    from mindthegap_tpu.ops import kmers as K
 
-    k = 31
-    rng = np.random.default_rng(42)
-
-    # synthetic genome; its kmers form the solid set (realistic hit rates)
-    genome = rng.integers(0, 4, size=1 << 24, dtype=np.uint8)
-    fwd, _ = K.kmers_from_codes(genome, k)
-    solid = np.unique(K.canonical_u64(fwd, k))
-    repeat = np.unique(K.canonical_u64(fwd[: 1 << 19] & K.kmer_mask(k - 1), k - 1))
-
-    qm = X.build_fused(solid, k, repeat)
-
-    window = genome.shape[0]
+    qm = X.build_fused(solid, K, repeat)
     args = (
         jnp.asarray(genome),
         jnp.asarray(qm.slots),
         jnp.asarray(qm.stash_keys),
         jnp.asarray(qm.stash_payload),
         qm.log_size,
-        k,
+        K,
     )
-
     # compile + warm up (forcing a transfer: async dispatch on this backend
     # does not reliably honor block_until_ready)
     int(jnp.sum(scan_planes_device_q(*args)["nb_in"]))
-
     best = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()
         int(jnp.sum(scan_planes_device_q(*args)["nb_in"]))
         best = min(best, time.perf_counter() - t0)
-    device_bases_per_s = window / best
+    return genome.size / best
 
-    # single-core numpy oracle on a slice
-    slice_n = 1 << 19
+
+def bench_count(genome):
+    from mindthegap_tpu.ops.counting_device import DeviceStreamingCounter
+
+    reads = _reads_from(genome, COUNT_BASES)
+    # warm-up pass compiles the sort shape
+    warm = DeviceStreamingCounter(K)
+    for r in reads[:64]:
+        warm.add_codes(r)
+    warm.result()
+    counter = DeviceStreamingCounter(K)
     t0 = time.perf_counter()
-    scan.compute_planes(genome[:slice_n], k, solid, repeat)
-    host_t = time.perf_counter() - t0
-    host_bases_per_s = slice_n / host_t
+    for r in reads:
+        counter.add_codes(r)
+    res = counter.result()
+    dt = time.perf_counter() - t0
+    n_kmers = sum(r.size - K + 1 for r in reads)
+    assert res.kmers.size > 0
+    return n_kmers / dt
+
+
+def _fill_seeds(genome, n_jobs, seed=3):
+    from mindthegap_tpu.ops import kmers as Kk
+
+    rng = np.random.default_rng(seed)
+    starts = rng.integers(0, genome.size - K, size=n_jobs)
+    seeds = []
+    for s in starts:
+        v = 0
+        for c in genome[s : s + K]:
+            v = (v << 2) | int(c)
+        seeds.append(v)
+    return seeds
+
+
+class _FakeGraph:
+    def __init__(self, solid):
+        self.k = K
+        self.solid = _FakeSolid(solid)
+
+
+class _FakeSolid:
+    def __init__(self, keys):
+        self.keys = keys
+
+
+def bench_fill(genome, solid):
+    from mindthegap_tpu.fill.traversal import GraphView, Terminator, TraversalPolicy, traverse_right_co
+    from mindthegap_tpu.fill.walk_device import BatchWalker, run_jobs_batched
+    from mindthegap_tpu.ops import extmap as X
+
+    qm = X.build_fused(solid, K, np.zeros(0, np.uint64))
+    view = GraphView(_FakeGraph(solid), qmap=qm)
+    policy = TraversalPolicy()
+    seeds = _fill_seeds(genome, FILL_JOBS)
+
+    def run_once():
+        term = Terminator(view)
+        gens = [traverse_right_co(view, term, s, policy, FILL_DEPTH) for s in seeds]
+        walker = BatchWalker(qm, K)
+        return list(run_jobs_batched(gens, walker))
+
+    run_once()  # warm-up/compile
+    t0 = time.perf_counter()
+    out = run_once()
+    dt = time.perf_counter() - t0
+    assert len(out) == FILL_JOBS
+    return FILL_JOBS / dt
+
+
+# ---------------------------------------------------------------------------
+# host oracles (single-core exact reimplementations of the reference loops)
+
+
+def oracle_scan(genome, solid, repeat, slice_n=1 << 19):
+    from mindthegap_tpu.find import scan
+
+    t0 = time.perf_counter()
+    scan.compute_planes(genome[:slice_n], K, solid, repeat)
+    return slice_n / (time.perf_counter() - t0)
+
+
+def oracle_count(genome, n_bases=1 << 22):
+    from mindthegap_tpu.ops.counting import StreamingCounter
+
+    reads = _reads_from(genome, n_bases)
+    counter = StreamingCounter(K)
+    t0 = time.perf_counter()
+    for r in reads:
+        counter.add_codes(r)
+    counter.result()
+    dt = time.perf_counter() - t0
+    return sum(r.size - K + 1 for r in reads) / dt
+
+
+def oracle_fill(genome, solid, n_jobs=64):
+    from mindthegap_tpu.fill.traversal import (
+        GraphView, Terminator, TraversalPolicy, host_walk, traverse_right_co, drive,
+    )
+    from mindthegap_tpu.ops import extmap as X
+
+    qm = X.build_fused(solid, K, np.zeros(0, np.uint64))
+    view = GraphView(_FakeGraph(solid), qmap=qm)
+    policy = TraversalPolicy()
+    seeds = _fill_seeds(genome, n_jobs)
+    term = Terminator(view)
+    t0 = time.perf_counter()
+    for s in seeds:
+        view._succ.clear()
+        view._pred.clear()
+        drive(
+            traverse_right_co(view, term, s, policy, FILL_DEPTH),
+            lambda node, budget: host_walk(view, node, budget),
+        )
+    return n_jobs / (time.perf_counter() - t0)
+
+
+def calibrate():
+    """Measure the host oracles (median of 5) and pin them in BASELINE.json."""
+    genome, _fwd, solid, repeat = _synth()
+    med = lambda f: statistics.median(f() for _ in range(5))
+    pinned = {
+        "host_find_scan_bases_per_s": round(med(lambda: oracle_scan(genome, solid, repeat))),
+        "host_graph_build_kmers_per_s": round(med(lambda: oracle_count(genome))),
+        "host_fill_gapfills_per_s": round(med(lambda: oracle_fill(genome, solid)), 2),
+        "pinned_on": time.strftime("%Y-%m-%d"),
+        "note": "single-core host-oracle rates on the bench machine; fixed "
+                "denominators for bench.py vs_baseline (BASELINE.md self-measured)",
+    }
+    path = os.path.join(HERE, "BASELINE.json")
+    data = json.load(open(path))
+    data["published"] = pinned
+    json.dump(data, open(path, "w"), indent=2)
+    print(json.dumps(pinned))
+
+
+def main():
+    if "--calibrate" in sys.argv:
+        calibrate()
+        return
+
+    genome, _fwd, solid, repeat = _synth()
+
+    path = os.path.join(HERE, "BASELINE.json")
+    published = {}
+    try:
+        published = json.load(open(path)).get("published", {})
+    except Exception:
+        pass
+    base_scan = published.get("host_find_scan_bases_per_s") or oracle_scan(genome, solid, repeat)
+    base_count = published.get("host_graph_build_kmers_per_s") or oracle_count(genome)
+    base_fill = published.get("host_fill_gapfills_per_s") or oracle_fill(genome, solid)
+
+    scan_rate = bench_scan(genome, solid, repeat)
+    count_rate = bench_count(genome)
+    fill_rate = bench_fill(genome, solid)
 
     result = {
         "metric": "find_scan_bases_per_s",
-        "value": round(device_bases_per_s),
+        "value": round(scan_rate),
         "unit": "bases/s/chip",
-        "vs_baseline": round(device_bases_per_s / host_bases_per_s, 2),
+        "vs_baseline": round(scan_rate / base_scan, 2),
+        "extra": {
+            "graph_build_kmers_per_s": round(count_rate),
+            "graph_build_vs_baseline": round(count_rate / base_count, 2),
+            "fill_gapfills_per_s": round(fill_rate, 1),
+            "fill_vs_baseline": round(fill_rate / base_fill, 2),
+            "baseline": "pinned host oracle (BASELINE.json published)" if published else "measured this run",
+        },
     }
     print(json.dumps(result))
 

@@ -291,7 +291,21 @@ class Filler:
         if engine == "device":
             from .walk_device import BatchWalker, run_jobs_batched
 
-            walker = BatchWalker(self.view.qm, self.k)
+            # job lanes ride the whole device mesh when one is available
+            # (shard_map over the largest power-of-two device count) — the
+            # multi-chip Dispatcher fan-out (src/Filler.cpp:824,844)
+            mesh = None
+            try:
+                import jax
+
+                n = len(jax.devices())
+                if n > 1:
+                    from ..parallel.mesh import make_mesh
+
+                    mesh = make_mesh(1 << (n.bit_length() - 1))
+            except Exception:
+                mesh = None
+            walker = BatchWalker(self.view.qm, self.k, mesh=mesh)
             gens = [co_fn(*j) for j in jobs]
             yield from run_jobs_batched(gens, walker)
         else:

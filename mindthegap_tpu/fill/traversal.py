@@ -288,9 +288,13 @@ def host_walk(view: GraphView, node: int, budget: int):
         if len(succs) > 1:
             return bases, node, "event"
         nt, nxt = succs[0]
-        # predecessors(nxt) > 1 covers both the in_branch_stop fork check and
-        # half of is_branching(nxt); successors(nxt) != 1 is the other half.
-        if len(view.predecessors(nxt)) > 1:
+        # predecessors(nxt) != 1 covers both the in_branch_stop fork check
+        # (>1) and the in-degree-0 half of is_branching(nxt) — a successor
+        # with no recorded predecessors (possible when the seed k-mer itself
+        # is not solid, e.g. user-provided -contig seeds) must be handed back
+        # so the automaton can mark it; successors(nxt) != 1 is the other
+        # half of is_branching.
+        if len(view.predecessors(nxt)) != 1:
             return bases, node, "event"
         if len(view.successors(nxt)) != 1:
             return bases, node, "event"

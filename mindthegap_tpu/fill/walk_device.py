@@ -90,7 +90,7 @@ def walk_batch_device(nodes, budgets, slots, stash_k, stash_v, log_size: int, k:
         # single-successor base: with exactly one bit set, x = its index
         x = (((ext >> 1) & 1) + 2 * ((ext >> 2) & 1) + 3 * ((ext >> 3) & 1)).astype(jnp.uint64)
         nxt = ((node << jnp.uint64(2)) | x) & mask_k
-        merge = _popcount4(pre) > 1  # predecessors(nxt) > 1
+        merge = _popcount4(pre) != 1  # predecessors(nxt) != 1 (merge or in-deg 0)
 
         ext2, pre2 = ext_pre_of(nxt)
         branch2 = _popcount4(ext2) != 1  # successors(nxt) != 1 => is_branching(nxt)
@@ -108,7 +108,12 @@ def walk_batch_device(nodes, budgets, slots, stash_k, stash_v, log_size: int, k:
         n_app = n_app + append.astype(jnp.int32)
         return (node, ext, pre, n_app, status), base_out
 
-    init = (nodes, ext0, pre0, jnp.zeros(nodes.shape, jnp.int32), jnp.zeros(nodes.shape, jnp.uint8))
+    # derive the zero carries from `nodes` (not jnp.zeros) so their varying
+    # manual axes match the outputs when this runs inside shard_map
+    # (parallel/mesh.py walk_batch_sharded): lax.scan requires carry-in and
+    # carry-out to agree on mesh-axis vma.
+    zeros = nodes & jnp.uint64(0)
+    init = (nodes, ext0, pre0, zeros.astype(jnp.int32), zeros.astype(jnp.uint8))
     (node, _, _, n_app, status), bases = jax.lax.scan(step, init, None, length=steps)
     return bases.T, n_app, node, status
 
@@ -117,19 +122,63 @@ class BatchWalker:
     """Host driver: satisfies batches of ("walk", node, budget) requests with
     walk_batch_device, re-invoking in `steps`-sized chunks until every lane
     has stopped. Lane counts are padded to powers of two and step counts
-    escalate geometrically so only a handful of shapes ever compile."""
+    escalate geometrically so only a handful of shapes ever compile.
 
-    def __init__(self, qmap: X.QMap, k: int, min_lanes: int = 8, steps: int = 64, max_steps: int = 1024):
+    With `mesh` set, job lanes are laid out over the device mesh via
+    shard_map (the multi-chip shape of the reference's Dispatcher fan-out
+    over gap-fill jobs, src/Filler.cpp:824,844; SURVEY.md §2.3 row 2) with
+    the fused quotient map replicated on every device."""
+
+    def __init__(self, qmap: X.QMap, k: int, min_lanes: int = 8, steps: int = 64,
+                 max_steps: int = 1024, mesh=None):
         self.k = k
         self.log_size = qmap.log_size
-        self.slots = jnp.asarray(qmap.slots)
-        self.stash_k = jnp.asarray(qmap.stash_keys)
-        self.stash_v = jnp.asarray(qmap.stash_payload)
-        self.min_lanes = min_lanes
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = int(mesh.devices.size)
+            assert n_dev & (n_dev - 1) == 0, "mesh size must be a power of two"
+            axis = mesh.axis_names[0]
+            self._axis = axis
+            self._lane_sharding = NamedSharding(mesh, P(axis))
+            rep = NamedSharding(mesh, P())
+            self.slots = jax.device_put(jnp.asarray(qmap.slots), rep)
+            self.stash_k = jax.device_put(jnp.asarray(qmap.stash_keys), rep)
+            self.stash_v = jax.device_put(jnp.asarray(qmap.stash_payload), rep)
+            self.min_lanes = max(min_lanes, n_dev)
+            self._sharded_fns: dict[int, object] = {}
+        else:
+            self.slots = jnp.asarray(qmap.slots)
+            self.stash_k = jnp.asarray(qmap.stash_keys)
+            self.stash_v = jnp.asarray(qmap.stash_payload)
+            self.min_lanes = min_lanes
         self.steps = steps
         self.max_steps = max_steps
         self.n_device_calls = 0
         self.n_walked = 0
+
+    def _call_device(self, nodes, budgets, steps: int):
+        if self.mesh is None:
+            return walk_batch_device(
+                nodes, budgets, self.slots, self.stash_k, self.stash_v,
+                self.log_size, self.k, steps,
+            )
+        fn = self._sharded_fns.get(steps)
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            axis = self._axis
+            fn = jax.jit(jax.shard_map(
+                partial(walk_batch_device, log_size=self.log_size, k=self.k, steps=steps),
+                mesh=self.mesh,
+                in_specs=(P(axis), P(axis), P(), P(), P()),
+                out_specs=(P(axis, None), P(axis), P(axis), P(axis)),
+            ))
+            self._sharded_fns[steps] = fn
+        nodes = jax.device_put(nodes, self._lane_sharding)
+        budgets = jax.device_put(budgets, self._lane_sharding)
+        return fn(nodes, budgets, self.slots, self.stash_k, self.stash_v)
 
     def walk_many(self, requests):
         """requests: list of (node:int, budget:int). Returns a list of
@@ -182,9 +231,12 @@ def run_jobs_batched(gens, walker: BatchWalker):
     """Drive many traversal coroutines concurrently: collect every pending
     ("walk", node, budget) request, satisfy the whole batch on device, feed
     results back, repeat. Jobs block only on walks, so batches stay full
-    until the long tail drains. Returns each coroutine's return value, in
-    input order."""
-    results = [None] * len(gens)
+    until the long tail drains. Yields each coroutine's return value in
+    input order, streaming finished prefixes as they complete (so writers
+    and the progress bar advance before the long tail drains)."""
+    n = len(gens)
+    results = [None] * n
+    done = [False] * n
     pending: dict[int, tuple] = {}
 
     def advance(i, value, first):
@@ -193,13 +245,26 @@ def run_jobs_batched(gens, walker: BatchWalker):
             pending[i] = req
         except StopIteration as e:
             results[i] = e.value
+            done[i] = True
 
-    for i in range(len(gens)):
+    for i in range(n):
         advance(i, None, True)
+    next_emit = 0
+    while next_emit < n and done[next_emit]:
+        yield results[next_emit]
+        results[next_emit] = None
+        next_emit += 1
     while pending:
         idxs = sorted(pending)
         reqs = [pending.pop(i) for i in idxs]
         outs = walker.walk_many([(r[1], r[2]) for r in reqs])
         for i, out in zip(idxs, outs):
             advance(i, out, False)
-    return results
+        while next_emit < n and done[next_emit]:
+            yield results[next_emit]
+            results[next_emit] = None
+            next_emit += 1
+    while next_emit < n:
+        yield results[next_emit]
+        results[next_emit] = None
+        next_emit += 1

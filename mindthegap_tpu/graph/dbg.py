@@ -229,11 +229,16 @@ def build_graph(
     """Count reads and build the solid-kmer graph (Graph::create equivalent).
 
     count_engine: "host" (numpy/native sort+RLE), "device" (per-batch k-mer
-    extraction + sort on the accelerator, ops/counting_device.py), or "auto"
-    (host)."""
+    extraction + sort on the accelerator, ops/counting_device.py), "sharded"
+    (mesh-distributed counting with all_to_all key routing + exact psum
+    histogram, parallel/sharded_count.py), or "auto" (host)."""
     from ..io.bank import iter_codes
 
-    if count_engine == "device" and k <= 32:
+    if count_engine == "sharded" and k <= 32:
+        from ..parallel.sharded_count import ShardedStreamingCounter
+
+        counter = ShardedStreamingCounter(k)
+    elif count_engine == "device" and k <= 32:
         from ..ops.counting_device import DeviceStreamingCounter
 
         counter = DeviceStreamingCounter(k)

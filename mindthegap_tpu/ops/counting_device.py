@@ -54,6 +54,9 @@ class DeviceStreamingCounter:
         assert k <= 32, "device counter: k <= 32 (host counter covers larger spans)"
         self.k = k
         self._batch = int(batch_bases)
+        # the mid-read flush rewinds k-1 bases; the per-iteration advance must
+        # exceed the rewind or add_codes never progresses
+        assert self._batch >= 2 * k, "batch_bases must be >= 2*k"
         self._buf = np.full(self._batch, SEP, np.uint8)
         self._fill = 0
         self._sorted = np.zeros(0, np.uint64)

@@ -74,39 +74,79 @@ def sharded_scan_q(mesh: Mesh, windows: np.ndarray, qmap, k: int):
     def run(w, slots, sk, sv):
         return jax.vmap(lambda row: scan_planes_device_q(row, slots, sk, sv, qmap.log_size, k))(w)
 
-    return jax.tree.map(np.asarray, run(windows_d, slots_d, sk_d, sv_d))
+    out = run(windows_d, slots_d, sk_d, sv_d)
+    if jax.process_count() > 1:
+        # multi-host: window shards live on remote processes too; gather the
+        # global arrays onto every host (the all_gather of SURVEY.md §5.8)
+        from jax.experimental import multihost_utils
+
+        return jax.tree.map(np.asarray, multihost_utils.process_allgather(out, tiled=True))
+    return jax.tree.map(np.asarray, out)
 
 
 def distributed_count_step(mesh: Mesh, read_codes: np.ndarray, k: int, histo_max: int = 10000):
-    """One data-parallel counting step: reads sharded over the mesh, each
-    shard extracts canonical k-mers, sorts them locally, and computes an
-    abundance histogram; histograms are psum-reduced across the mesh (the
-    collective that feeds the `auto` cutoff). Returns (sorted per-shard kmer
-    runs [D, L], global histogram)."""
+    """One data-parallel counting step: reads sharded over the mesh; each
+    shard extracts + canonicalizes its k-mers, ROUTES every k-mer to its
+    owner device by a bijective hash prefix via all_to_all (ICI), sorts what
+    it received and run-length encodes. Ownership makes per-device counts
+    complete, so the psum of per-device histograms is the EXACT global
+    abundance histogram (the collective that feeds the `auto` cutoff).
+    Returns (owner-sorted per-shard kmer runs [D, L] padded with the MAX
+    sentinel, global histogram). The full streaming version of this step is
+    parallel/sharded_count.py ShardedStreamingCounter."""
+    from .sharded_count import pick_swizzle_const
+
     axis = mesh.axis_names[0]
+    n = int(mesh.devices.size)
+    assert n & (n - 1) == 0, "mesh size must be a power of two"
+    log_n = n.bit_length() - 1
+    const = np.uint64(pick_swizzle_const(k))
+    sentinel = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    rows_total, read_len = read_codes.shape
+    per_dev = (rows_total // n) * (read_len - k + 1)
+    cap = per_dev // n + max(64, per_dev // (4 * n))
 
     def shard_fn(codes):  # codes: [rows_per_shard, read_len]
         def row_kmers(row):
             fwd, valid = rolling_kmers_device(row, k)
             canon = K.canonical_u64(fwd, k, jnp)
-            # invalid positions -> sentinel max so they sort to the end
-            return jnp.where(valid, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+            return jnp.where(valid, canon, sentinel)
 
         canon = jax.vmap(row_kmers)(codes).reshape(-1)
-        canon = jnp.sort(canon)
-        # run-length encode the sorted keys -> per-distinct-kmer counts
-        newrun = jnp.concatenate([jnp.ones(1, jnp.int32), (canon[1:] != canon[:-1]).astype(jnp.int32)])
+        swz = (canon ^ (canon >> jnp.uint64(33))) * const
+        swz = swz ^ (swz >> jnp.uint64(29))
+        swz = jnp.where(canon == sentinel, sentinel, swz)
+        swz, canon = jax.lax.sort((swz, canon), num_keys=1)
+
+        if log_n:
+            bounds = jnp.arange(1, n, dtype=jnp.uint64) << jnp.uint64(64 - log_n)
+            starts = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.searchsorted(swz, bounds).astype(jnp.int32)]
+            )
+        else:
+            starts = jnp.zeros(1, jnp.int32)
+        end_valid = jnp.searchsorted(swz, sentinel).astype(jnp.int32)
+        ends = jnp.maximum(jnp.concatenate([starts[1:], end_valid[None]]), starts)
+
+        idx = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+        mask = idx < ends[:, None]
+        idx = jnp.minimum(idx, swz.shape[0] - 1)
+        send = jnp.where(mask, canon[idx], sentinel)
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+
+        owned = jnp.sort(recv.reshape(-1))
+        # run-length encode the sorted keys -> complete per-distinct counts
+        newrun = jnp.concatenate(
+            [jnp.ones(1, jnp.int32), (owned[1:] != owned[:-1]).astype(jnp.int32)]
+        )
         run_id = jnp.cumsum(newrun) - 1
-        counts = jax.ops.segment_sum(jnp.ones_like(run_id), run_id, num_segments=canon.shape[0])
-        # histogram of counts, attributed once per run start; sentinel ignored
-        starts = newrun == 1
-        real = starts & (canon != jnp.uint64(0xFFFFFFFFFFFFFFFF))
-        cnt_at_start = counts[run_id]
-        clipped = jnp.clip(jnp.where(real, cnt_at_start, 0), 0, histo_max)
-        hist = jnp.zeros((histo_max + 1,), jnp.int32).at[clipped].add(real.astype(jnp.int32))
+        counts = jax.ops.segment_sum(jnp.ones_like(run_id), run_id, num_segments=owned.shape[0])
+        starts_m = (newrun == 1) & (owned != sentinel)
+        clipped = jnp.clip(jnp.where(starts_m, counts[run_id], 0), 0, histo_max)
+        hist = jnp.zeros((histo_max + 1,), jnp.int32).at[clipped].add(starts_m.astype(jnp.int32))
         hist = hist.at[0].set(0)
         ghist = jax.lax.psum(hist, axis)
-        return canon, ghist
+        return owned, ghist
 
     shard_fn_mapped = jax.shard_map(
         shard_fn, mesh=mesh, in_specs=(P(axis, None),), out_specs=(P(axis), P())

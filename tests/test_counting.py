@@ -89,3 +89,45 @@ def test_device_counter_matches_host():
     assert np.array_equal(hr.kmers, dr.kmers)
     assert np.array_equal(hr.counts, dr.counts)
     assert np.array_equal(hr.histogram, dr.histogram)
+
+
+def test_sharded_counter_matches_host():
+    """ShardedStreamingCounter (mesh all_to_all key routing + psum
+    histogram) must reproduce the host counter exactly — keys, counts,
+    histogram — including mid-read buffer splits (tiny batch forces both
+    multiple flushes and the k-1 rewind)."""
+    import numpy as np
+
+    from mindthegap_tpu.io.bank import iter_codes
+    from mindthegap_tpu.ops.counting import StreamingCounter
+    from mindthegap_tpu.parallel.sharded_count import ShardedStreamingCounter
+
+    k = 21
+    host = StreamingCounter(k)
+    sharded = ShardedStreamingCounter(k, batch_bases=1 << 13)
+    assert sharded.n_dev == 8
+    n = 0
+    for _h, codes in iter_codes("/root/reference/data/reads_r1.fastq"):
+        host.add_codes(codes)
+        sharded.add_codes(codes)
+        n += 1
+        if n >= 400:
+            break
+    hr = host.result()
+    sr = sharded.result()
+    assert np.array_equal(hr.kmers, sr.kmers)
+    assert np.array_equal(hr.counts, sr.counts)
+    assert np.array_equal(hr.histogram, sr.histogram)
+
+
+def test_sharded_count_graph_identical(tmp_path):
+    """build_graph(count_engine=sharded) must produce a byte-identical graph
+    artifact to the host build (SURVEY.md §2.3 row 1: mesh-wired DSK)."""
+    import numpy as np
+
+    uri = "/root/reference/data/contig-reads.fasta.gz"
+    gh = dbg.build_graph(uri, 31, 3, count_engine="host")
+    gs = dbg.build_graph(uri, 31, 3, count_engine="sharded")
+    assert gh.info == gs.info
+    assert np.array_equal(gh.solid.keys, gs.solid.keys)
+    assert np.array_equal(gh.solid.counts, gs.solid.counts)

@@ -132,3 +132,16 @@ def test_shard_bounds_partition():
             assert b == c and b - a >= 0
         sizes = [b - a for a, b in spans]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_dryrun_multichip():
+    """Gate for the driver's multichip dry run: the FULL pipeline step
+    (distributed count + sharded scan + job-sharded fill walk) must compile
+    and execute on the 8-virtual-device CPU mesh. Regression guard for the
+    round-2 shard_map/lax.scan carry-vma failure (fill/walk_device.py)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("graft_entry", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
