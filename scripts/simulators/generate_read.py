@@ -1,6 +1,8 @@
 #!/usr/bin/env python3
 """Generate random reads from a fasta file (reference
-test/scripts/generate_read.py, rebuilt py3).
+test/scripts/generate_read.py, rebuilt py3). Derived from that reference test-data
+script: condensed python3 adaptation, same simulation semantics (aux
+tooling, not product code).
 
 usage: generate_read.py -f fasta_file [-n number] [-l length] [--seed S]
 """

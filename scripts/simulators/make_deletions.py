@@ -1,6 +1,8 @@
 #!/usr/bin/env python3
 """Generate random deletions in a genome (reference
-test/scripts/make_deletions.py, rebuilt py3).
+test/scripts/make_deletions.py, rebuilt py3). Derived from that reference test-data
+script: condensed python3 adaptation, same simulation semantics (aux
+tooling, not product code).
 
 usage: make_deletions.py -g genome.fasta -o out [-n nb] [-m min] [-M max]
                          [-s sep] [-N] [-b] [--seed S]

@@ -1,5 +1,9 @@
 #!/usr/bin/env python3
-"""vde — variant-distance evaluator (reference test/vde.py, rebuilt py3).
+"""vde — variant-distance evaluator.
+
+Derived from the reference's auxiliary evaluation script (/root/reference/
+test/vde.py, python2): condensed python3 adaptation with the same scoring
+semantics — noted per code-review guidance; aux tooling, not product code.
 
 Scores an experiment variant set against a truth set with a position
 tolerance (delta), per variant type. Input formats:
