@@ -3,7 +3,8 @@
 The C++ scanner consumes the per-position planes at native speed and emits
 the exact .breakpoints / .othervariants.vcf record text the python automaton
 would produce (differential-tested in tests/test_native_automaton.py).
-k <= 32 only; larger spans use the python path."""
+All spans k <= 256: kmers are ceil(k/32)-word rows (the ops/span.py layout);
+the C side dispatches on the word count."""
 
 from __future__ import annotations
 
@@ -34,9 +35,9 @@ def _load():
                 check=True, capture_output=True,
             )
         lib = ctypes.CDLL(_LIB_PATH)
-        lib.scanner_create.restype = ctypes.c_void_p
-        lib.scanner_create.argtypes = [
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        lib.scanner_create_span.restype = ctypes.c_void_p
+        lib.scanner_create_span.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
             ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
@@ -83,21 +84,45 @@ class NativeScanner:
                  branching_threshold, homo_only, snp, deletion, small_homo,
                  homo_insert, backup, hete_insert):
         lib = _load()
-        assert lib is not None and k <= 32
+        assert lib is not None and k <= 256
         self._lib = lib
-        self._solid = np.ascontiguousarray(graph.solid.keys, dtype=np.uint64)
-        self._repeat = np.ascontiguousarray(repeat_set.keys, dtype=np.uint64)
-        self._h = lib.scanner_create(
-            k, max_repeat, snp_min_val, branching_threshold,
+        self.k = k
+        self.words = max(1, -(-k // 32))
+        if k <= 32:
+            self._solid = np.ascontiguousarray(graph.solid.keys, dtype=np.uint64)
+            self._repeat = np.ascontiguousarray(repeat_set.keys, dtype=np.uint64)
+            n_solid, n_repeat = self._solid.size, self._repeat.size
+        else:
+            # multi-word: sorted void keys -> (N, W) uint64 rows (same order:
+            # big-endian word rows compare like the void keys)
+            from ..ops.span import Span
+
+            sp = Span(k)
+            self._solid = np.ascontiguousarray(sp.from_keys(graph.solid.keys))
+            if repeat_set.span is None:  # k = 33: (k-1)-mer set is plain u64
+                self._repeat = np.ascontiguousarray(
+                    np.asarray(repeat_set.keys, np.uint64).reshape(-1, 1)
+                )
+            else:
+                self._repeat = np.ascontiguousarray(
+                    Span(k - 1).from_keys(repeat_set.keys)
+                )
+            n_solid, n_repeat = self._solid.shape[0], self._repeat.shape[0]
+        self._h = lib.scanner_create_span(
+            k, self.words, max_repeat, snp_min_val, branching_threshold,
             int(homo_only), int(snp), int(deletion), int(small_homo),
             int(homo_insert), int(backup), int(hete_insert),
-            self._solid.ctypes.data_as(ctypes.c_void_p), self._solid.size,
-            self._repeat.ctypes.data_as(ctypes.c_void_p), self._repeat.size,
+            self._solid.ctypes.data_as(ctypes.c_void_p), n_solid,
+            self._repeat.ctypes.data_as(ctypes.c_void_p), n_repeat,
         )
 
     def scan_sequence(self, name: str, seq: str, planes, bed_intervals=None):
         valid = np.ascontiguousarray(planes.valid, dtype=np.uint8)
-        fwd = np.ascontiguousarray(planes.fwd, dtype=np.uint64)
+        if self.k <= 32:
+            fwd = np.ascontiguousarray(planes.fwd, dtype=np.uint64)
+        else:
+            assert planes.fwd_rows is not None, "k > 32 native scan needs fwd_rows"
+            fwd = np.ascontiguousarray(planes.fwd_rows, dtype=np.uint64)
         contains = np.ascontiguousarray(planes.contains, dtype=np.uint8)
         nb_in = np.ascontiguousarray(planes.nb_in, dtype=np.int32)
         nb_out = np.ascontiguousarray(planes.nb_out, dtype=np.int32)

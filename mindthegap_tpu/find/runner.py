@@ -263,6 +263,7 @@ def _make_span_plane_fn(engine: str, graph, repeat_set, k: int, host_fn):
                 nb_out=np.concatenate(outs["nb_out"]),
                 suffix_rep=np.concatenate(outs["suffix_rep"]),
                 prefix_rep=np.concatenate(outs["prefix_rep"]),
+                fwd_rows=fwd_rows,
             )
 
         return device_fn
@@ -355,7 +356,7 @@ def run_find(opts: dict, out=None) -> Properties:
 
     automaton = opts.get("automaton", "auto")
     use_native = (
-        automaton in ("auto", "native") and k <= 32 and native_scan.available()
+        automaton in ("auto", "native") and k <= 256 and native_scan.available()
     )
 
     with open(breakpoint_name, "w") as bkpt_f, open(vcf_name, "w") as vcf_f:

@@ -36,6 +36,10 @@ class Planes:
     nb_out: np.ndarray
     suffix_rep: np.ndarray
     prefix_rep: np.ndarray
+    # k > 32 only: the forward kmers as (P, W) uint64 word rows (the span
+    # layout, ops/span.py) for the native automaton; `fwd` stays the
+    # object-int array the python automaton consumes.
+    fwd_rows: np.ndarray | None = None
 
     def __len__(self):
         return int(self.valid.shape[0])
@@ -147,4 +151,5 @@ def compute_planes_span(codes: np.ndarray, k: int, solid_keys, repeat_keys) -> P
         nb_out=nb_out,
         suffix_rep=suffix_rep,
         prefix_rep=prefix_rep,
+        fwd_rows=arr,
     )

@@ -5,7 +5,11 @@
 // reference src/FindBreakpoints.hpp + src/Find*.hpp). The device pass
 // produces per-position planes; this consumes them at native speed —
 // the python replay is the host bottleneck on genome-scale inputs.
-// k <= 32 only (kmers in uint64); larger spans use the python path.
+//
+// K-mers are Kmer<W> = W uint64 words, word 0 most significant, value
+// right-aligned (the ops/span.py layout) — W=1 covers k<=32, W<=8 covers
+// the KSIZE_LIST spans up to k=256. W is a compile-time template parameter
+// (all word loops unroll); the C API dispatches on `words`.
 //
 // The output is the exact text of the .breakpoints and .othervariants.vcf
 // record streams (headers excluded) plus the counters; python writes files.
@@ -23,6 +27,117 @@ namespace {
 
 typedef uint64_t u64;
 
+u64 revcomp_word_full(u64 x)
+{
+    x = x ^ 0xAAAAAAAAAAAAAAAAULL;
+    x = ((x >> 2) & 0x3333333333333333ULL) | ((x & 0x3333333333333333ULL) << 2);
+    x = ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((x & 0x0F0F0F0F0F0F0F0FULL) << 4);
+    x = ((x >> 8) & 0x00FF00FF00FF00FFULL) | ((x & 0x00FF00FF00FF00FFULL) << 8);
+    x = ((x >> 16) & 0x0000FFFF0000FFFFULL) | ((x & 0x0000FFFF0000FFFFULL) << 16);
+    x = (x >> 32) | (x << 32);
+    return x;
+}
+
+// Multi-word k-mer, span layout: value = sum w[i] << 64*(W-1-i).
+template <int W>
+struct Kmer
+{
+    u64 w[W];
+
+    Kmer() { for (int i = 0; i < W; i++) w[i] = 0; }
+
+    bool operator==(const Kmer& o) const
+    {
+        for (int i = 0; i < W; i++) if (w[i] != o.w[i]) return false;
+        return true;
+    }
+    bool operator<(const Kmer& o) const
+    {
+        for (int i = 0; i < W; i++)
+        {
+            if (w[i] < o.w[i]) return true;
+            if (w[i] > o.w[i]) return false;
+        }
+        return false;
+    }
+
+    // 2-bit field at bit offset `b` from the LSB of the value (b even, so
+    // fields never straddle words)
+    int get2(int b) const { return (int)((w[W - 1 - b / 64] >> (b % 64)) & 3ULL); }
+    void set2(int b, u64 v)
+    {
+        u64& word = w[W - 1 - b / 64];
+        int sh = b % 64;
+        word = (word & ~(3ULL << sh)) | (v << sh);
+    }
+
+    void shl2() // value <<= 2 (no mask)
+    {
+        for (int i = 0; i < W - 1; i++) w[i] = (w[i] << 2) | (w[i + 1] >> 62);
+        w[W - 1] <<= 2;
+    }
+    void shr2() // value >>= 2
+    {
+        for (int i = W - 1; i > 0; i--) w[i] = (w[i] >> 2) | (w[i - 1] << 62);
+        w[0] >>= 2;
+    }
+    void shr(int s) // value >>= s, 0 <= s < 64
+    {
+        if (s == 0) return;
+        for (int i = W - 1; i > 0; i--) w[i] = (w[i] >> s) | (w[i - 1] << (64 - s));
+        w[0] >>= s;
+    }
+    void mask_top(int nbases) // value &= (1 << 2*nbases) - 1
+    {
+        int full = nbases * 2 / 64;          // words fully kept, from the low end
+        int rem = nbases * 2 - full * 64;    // bits kept in the next word
+        for (int i = 0; i < W; i++)
+        {
+            int from_low = W - 1 - i;  // 0 = least significant word
+            if (from_low < full) continue;
+            if (from_low == full && rem)
+                w[i] &= (rem == 64) ? ~0ULL : ((1ULL << rem) - 1);
+            else
+                w[i] = 0;
+        }
+    }
+};
+
+template <int W>
+Kmer<W> revcomp_n(const Kmer<W>& a, int nbases)
+{
+    // reverse word order, full-word revcomp, then shift the value (which now
+    // occupies the TOP 2*nbases bits) back down (ops/span.py revcomp).
+    // The shift s = 64W - 2*nbases can exceed 64 when nbases spans fewer
+    // words than W (e.g. the (k-1)-mer suffix of a boundary k).
+    Kmer<W> t;
+    for (int i = 0; i < W; i++) t.w[i] = revcomp_word_full(a.w[W - 1 - i]);
+    int s = 64 * W - 2 * nbases;
+    int ws = s / 64, bs = s % 64;
+    Kmer<W> out;
+    for (int i = W - 1; i >= 0; i--)
+    {
+        int src = i - ws;
+        u64 v = (src >= 0) ? t.w[src] : 0;
+        if (bs)
+        {
+            v >>= bs;
+            if (src - 1 >= 0) v |= t.w[src - 1] << (64 - bs);
+        }
+        out.w[i] = v;
+    }
+    return out;
+}
+
+template <int W>
+Kmer<W> canonical_n(const Kmer<W>& a, int nbases)
+{
+    Kmer<W> rc = revcomp_n(a, nbases);
+    return rc < a ? rc : a;
+}
+
+const char NUC[5] = "ACTG";  // A=0 C=1 T=2 G=3
+
 struct Params
 {
     int k;
@@ -33,14 +148,6 @@ struct Params
     uint8_t snp, deletion, small_homo, homo_insert, backup, hete_insert;
 };
 
-struct Info
-{
-    u64 kmer = 0;
-    int nb_in = 0;
-    int nb_out = 0;
-    bool is_repeated = false;
-};
-
 struct Stats
 {
     long long homo_clean = 0, homo_fuzzy = 0, hetero_clean = 0, hetero_fuzzy = 0;
@@ -48,30 +155,34 @@ struct Stats
     long long backup = 0, homo_clean_indel = 0, homo_fuzzy_indel = 0, hetero_indel = 0;
 };
 
-u64 revcomp64(u64 x, int k)
+struct IScanner
 {
-    x = x ^ 0xAAAAAAAAAAAAAAAAULL;
-    x = ((x >> 2) & 0x3333333333333333ULL) | ((x & 0x3333333333333333ULL) << 2);
-    x = ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((x & 0x0F0F0F0F0F0F0F0FULL) << 4);
-    x = ((x >> 8) & 0x00FF00FF00FF00FFULL) | ((x & 0x00FF00FF00FF00FFULL) << 8);
-    x = ((x >> 16) & 0x0000FFFF0000FFFFULL) | ((x & 0x0000FFFF0000FFFFULL) << 16);
-    x = (x >> 32) | (x << 32);
-    return x >> (64 - 2 * k);
-}
+    virtual ~IScanner() {}
+    virtual void scan(const char* chrom_name, const char* chrom_seq, int64_t chrom_len,
+                      int64_t n_pos, const uint8_t* valid, const u64* fwd,
+                      const uint8_t* contains, const int32_t* nb_in, const int32_t* nb_out,
+                      const uint8_t* suffix_rep, const uint8_t* prefix_rep,
+                      const int64_t* bed, int64_t n_bed) = 0;
+    std::string bkpt_out;
+    std::string vcf_out;
+    Stats stats;
+};
 
-const char NUC[5] = "ACTG";  // A=0 C=1 T=2 G=3
-
-struct Scanner
+template <int W>
+struct Scanner : IScanner
 {
     Params P;
-    const u64* solid;
+    int RW;  // repeat-set row words = ceil((k-1)/32)
+    const u64* solid;   // rows of W words
     int64_t n_solid;
-    const u64* repeat;
+    const u64* repeat;  // rows of RW words
     int64_t n_repeat;
+
+    typedef Kmer<W> KM;
 
     // planes for the current sequence
     const uint8_t* valid;
-    const u64* fwd;
+    const u64* fwd;  // rows of W words
     const uint8_t* contains_p;
     const int32_t* nb_in_p;
     const int32_t* nb_out_p;
@@ -81,89 +192,108 @@ struct Scanner
     int64_t chrom_len;
     std::string chrom_name;
 
-    // outputs
-    std::string bkpt_out;
-    std::string vcf_out;
-    Stats stats;
+    struct Info
+    {
+        KM kmer;
+        int nb_in = 0;
+        int nb_out = 0;
+        bool is_repeated = false;
+    };
 
     // scanner state
     long long breakpoint_id = 1;
     u64 position = 0;
     bool kmer_begin_valid = false, kmer_end_valid = false;
-    u64 kmer_begin_fwd = 0, kmer_end_fwd = 0;
+    KM kmer_begin_fwd, kmer_end_fwd;
     bool previous_valid = false;
-    u64 previous_fwd = 0;
+    KM previous_fwd;
     u64 solid_stretch_size = 0, gap_stretch_size = 0;
     Info history[256];
     uint8_t het_begin_index = 0, het_end_index = 0;
     Info current_info;
     int recent_hetero = 0;
     bool kmer_end_is_repeated = false, kmer_begin_is_repeated = false;
-    int64_t plane_idx = 0;
+
+    KM load_fwd(int64_t i) const
+    {
+        KM k;
+        for (int j = 0; j < W; j++) k.w[j] = fwd[i * W + j];
+        return k;
+    }
 
     // ------- point queries ------------------------------------------------
-    bool member(const u64* arr, int64_t n, u64 key) const
+    static bool member_rows(const u64* arr, int64_t n, int words, const u64* key)
     {
         int64_t lo = 0, hi = n;
         while (lo < hi)
         {
             int64_t mid = (lo + hi) >> 1;
-            if (arr[mid] < key) lo = mid + 1; else hi = mid;
+            const u64* row = arr + mid * words;
+            int cmp = 0;
+            for (int j = 0; j < words; j++)
+            {
+                if (row[j] < key[j]) { cmp = -1; break; }
+                if (row[j] > key[j]) { cmp = 1; break; }
+            }
+            if (cmp < 0) lo = mid + 1; else hi = mid;
         }
-        return lo < n && arr[lo] == key;
-    }
-    u64 canon(u64 kmer) const
-    {
-        u64 rc = revcomp64(kmer, P.k);
-        return kmer < rc ? kmer : rc;
-    }
-    bool contains(u64 kmer) const { return member(solid, n_solid, canon(kmer)); }
-    int nb_out_branch(u64 kmer) const
-    {
-        u64 mask = (P.k == 32) ? ~0ULL : ((1ULL << (2 * P.k)) - 1);
-        int d = 0;
-        for (int x = 0; x < 4; x++) d += contains(((kmer << 2) | (u64)x) & mask);
-        return d;
-    }
-    int nb_in_branch(u64 kmer) const
-    {
-        int d = 0;
-        for (int x = 0; x < 4; x++) d += contains((kmer >> 2) | ((u64)x << (2 * (P.k - 1))));
-        return d;
-    }
-    bool suffix_is_repeated(u64 kmer) const
-    {
-        int km1 = P.k - 1;
-        u64 suffix = kmer & ((1ULL << (2 * km1)) - 1);
-        u64 rc = revcomp64(suffix << 2, P.k) >> 2;  // revcomp of km1-mer
-        // careful: compute rc of the (k-1)-mer directly
-        u64 r = 0;
-        {
-            u64 x = suffix ^ 0xAAAAAAAAAAAAAAAAULL;
-            x = ((x >> 2) & 0x3333333333333333ULL) | ((x & 0x3333333333333333ULL) << 2);
-            x = ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((x & 0x0F0F0F0F0F0F0F0FULL) << 4);
-            x = ((x >> 8) & 0x00FF00FF00FF00FFULL) | ((x & 0x00FF00FF00FF00FFULL) << 8);
-            x = ((x >> 16) & 0x0000FFFF0000FFFFULL) | ((x & 0x0000FFFF0000FFFFULL) << 16);
-            x = (x >> 32) | (x << 32);
-            r = x >> (64 - 2 * km1);
-        }
-        (void)rc;
-        u64 c = suffix < r ? suffix : r;
-        return member(repeat, n_repeat, c);
+        if (lo >= n) return false;
+        const u64* row = arr + lo * words;
+        for (int j = 0; j < words; j++) if (row[j] != key[j]) return false;
+        return true;
     }
 
-    std::string to_string(u64 kmer) const
+    bool contains(const KM& kmer) const
+    {
+        KM c = canonical_n(kmer, P.k);
+        return member_rows(solid, n_solid, W, c.w);
+    }
+    int nb_out_branch(const KM& kmer) const
+    {
+        int d = 0;
+        for (u64 x = 0; x < 4; x++)
+        {
+            KM n = kmer;
+            n.shl2();
+            n.w[W - 1] |= x;
+            n.mask_top(P.k);
+            d += contains(n);
+        }
+        return d;
+    }
+    int nb_in_branch(const KM& kmer) const
+    {
+        int d = 0;
+        for (u64 x = 0; x < 4; x++)
+        {
+            KM n = kmer;
+            n.shr2();
+            n.set2(2 * (P.k - 1), x);
+            d += contains(n);
+        }
+        return d;
+    }
+    bool suffix_is_repeated(const KM& kmer) const
+    {
+        KM sfx = kmer;
+        sfx.mask_top(P.k - 1);
+        KM c = canonical_n(sfx, P.k - 1);
+        // repeat rows are RW words; value < 2^(64*RW) so high words of c are 0
+        return member_rows(repeat, n_repeat, RW, c.w + (W - RW));
+    }
+
+    std::string to_string(const KM& kmer) const
     {
         std::string s(P.k, 'A');
-        for (int i = 0; i < P.k; i++) s[i] = NUC[(kmer >> (2 * (P.k - 1 - i))) & 3];
+        for (int i = 0; i < P.k; i++) s[i] = NUC[kmer.get2(2 * (P.k - 1 - i))];
         return s;
     }
-    static bool str_to_kmer(const char* s, int k, u64* out)
+    static bool str_to_kmer(const char* s, int k, KM* out)
     {
-        u64 v = 0;
+        KM v;
         for (int i = 0; i < k; i++)
         {
-            int c;
+            u64 c;
             switch (s[i])
             {
                 case 'A': case 'a': c = 0; break;
@@ -172,7 +302,8 @@ struct Scanner
                 case 'G': case 'g': c = 3; break;
                 default: return false;
             }
-            v = (v << 2) | (u64)c;
+            v.shl2();
+            v.w[W - 1] |= c;
         }
         *out = v;
         return true;
@@ -180,7 +311,7 @@ struct Scanner
     bool code_seed_valid(int64_t offset) const
     {
         if (offset < 0 || offset + P.k > chrom_len) return false;
-        u64 tmp;
+        KM tmp;
         return str_to_kmer(chrom_seq + offset, P.k, &tmp);
     }
     int count_leading_contained(const std::string& seq) const
@@ -189,7 +320,7 @@ struct Scanner
         int n = (int)seq.size() - P.k + 1;
         for (int i = 0; i < n; i++)
         {
-            u64 km;
+            KM km;
             if (!str_to_kmer(seq.c_str() + i, P.k, &km)) return c;  // non-ACGT never contained
             if (!contains(km)) return c;
             c++;
@@ -255,26 +386,25 @@ struct Scanner
     }
 
     // ------- SNP machinery -------------------------------------------------
-    u64 mutate_kmer(u64 kmer, u64 nuc, int pos) const
+    KM mutate_kmer(const KM& kmer, u64 nuc, int pos) const
     {
-        int p = P.k - pos;
-        u64 mask = (P.k == 32) ? ~0ULL : ((1ULL << (2 * P.k)) - 1);
-        u64 reset = ~(3ULL << (2 * p)) & mask;
-        return (kmer & reset) | (nuc << (2 * p));
+        KM m = kmer;
+        m.set2(2 * (P.k - pos), nuc);
+        return m;
     }
 
     bool snp_at_end(uint8_t* beginpos, int limit, u64* ret_nuc, u64* ref_nuc, int* nb_val)
     {
         std::map<u64, int> nuc = {{0, 0}, {1, 0}, {2, 0}, {3, 0}};
         uint8_t beginpos_init = *beginpos;
-        *ref_nuc = history[*beginpos].kmer & 3;
+        *ref_nuc = (u64)history[*beginpos].kmer.get2(0);
         nuc.erase(*ref_nuc);
         bool end = false;
         for (int j = 0; !end && j != P.k; (*beginpos)++, j++)
         {
             for (auto it = nuc.begin(); it != nuc.end();)
             {
-                u64 correct = mutate_kmer(history[*beginpos].kmer, it->first, P.k - j);
+                KM correct = mutate_kmer(history[*beginpos].kmer, it->first, P.k - j);
                 if (contains(correct)) { it->second++; ++it; }
                 else
                 {
@@ -295,14 +425,14 @@ struct Scanner
     {
         std::map<u64, int> nuc = {{0, 0}, {1, 0}, {2, 0}, {3, 0}};
         uint8_t beginpos_init = *beginpos;
-        *ref_nuc = (history[*beginpos].kmer >> (2 * (P.k - 1))) & 3;
+        *ref_nuc = (u64)history[*beginpos].kmer.get2(2 * (P.k - 1));
         nuc.erase(*ref_nuc);
         bool end = false;
         for (int j = 0; !end && j != P.k; (*beginpos)--, j++)
         {
             for (auto it = nuc.begin(); it != nuc.end();)
             {
-                u64 correct = mutate_kmer(history[*beginpos].kmer, it->first, j + 1);
+                KM correct = mutate_kmer(history[*beginpos].kmer, it->first, j + 1);
                 if (contains(correct)) { it->second++; ++it; }
                 else
                 {
@@ -324,7 +454,7 @@ struct Scanner
         for (int i = 0; i != P.k; i++)
         {
             uint8_t index = (uint8_t)(i + pos);
-            u64 mutated = mutate_kmer(history[index].kmer, nuc, P.k - i);
+            KM mutated = mutate_kmer(history[index].kmer, nuc, P.k - i);
             history[index].kmer = mutated;
             if (contains(mutated))
             {
@@ -675,7 +805,7 @@ struct Scanner
     // ------- notify / scan -------------------------------------------------
     void store_kmer_info(int64_t i)
     {
-        current_info.kmer = fwd[i];
+        current_info.kmer = load_fwd(i);
         current_info.nb_in = nb_in_p[i];
         current_info.nb_out = nb_out_p[i];
         current_info.is_repeated = suffix_rep_p[i] != 0;
@@ -720,7 +850,7 @@ struct Scanner
             }
             if (solid_stretch_size == 1)
             {
-                kmer_end_fwd = fwd[i];
+                kmer_end_fwd = load_fwd(i);
                 kmer_end_valid = true;
             }
         }
@@ -738,11 +868,24 @@ struct Scanner
         }
     }
 
-    void scan_sequence(int64_t n, const int64_t* bed, int64_t n_bed)
+    void scan(const char* name, const char* seq, int64_t seq_len, int64_t n,
+              const uint8_t* valid_p, const u64* fwd_p, const uint8_t* contains_pl,
+              const int32_t* nb_in_pl, const int32_t* nb_out_pl, const uint8_t* suffix_rep_pl,
+              const uint8_t* prefix_rep_pl, const int64_t* bed, int64_t n_bed) override
     {
+        chrom_name = name;
+        chrom_seq = seq;
+        chrom_len = seq_len;
+        valid = valid_p;
+        fwd = fwd_p;
+        contains_p = contains_pl;
+        nb_in_p = nb_in_pl;
+        nb_out_p = nb_out_pl;
+        suffix_rep_p = suffix_rep_pl;
+        prefix_rep_p = prefix_rep_pl;
+
         kmer_begin_valid = kmer_end_valid = false;
         solid_stretch_size = gap_stretch_size = 0;
-        memset(history, 0, sizeof(history));
         for (int q = 0; q < 256; q++) history[q] = Info();
         het_end_index = (uint8_t)((P.k + 1) & 255);
         het_begin_index = 1;
@@ -764,7 +907,7 @@ struct Scanner
                     u64 save_position = position;
                     notify(i);
                     position = save_position;
-                    previous_fwd = fwd[i];
+                    previous_fwd = load_fwd(i);
                     previous_valid = true;
                 }
                 position++;
@@ -804,7 +947,7 @@ struct Scanner
                     u64 save_position = position;
                     notify(i);
                     position = save_position;
-                    previous_fwd = fwd[i];
+                    previous_fwd = load_fwd(i);
                     previous_valid = true;
                 }
                 position++;
@@ -815,23 +958,56 @@ struct Scanner
     }
 };
 
+template <int W>
+IScanner* make_scanner(const Params& P, const u64* solid, int64_t n_solid,
+                       const u64* repeat, int64_t n_repeat)
+{
+    Scanner<W>* s = new Scanner<W>();
+    s->P = P;
+    s->RW = (P.k - 1 + 31) / 32;
+    s->solid = solid;
+    s->n_solid = n_solid;
+    s->repeat = repeat;
+    s->n_repeat = n_repeat;
+    return s;
+}
+
 }  // namespace
 
 extern "C" {
+
+// words: uint64 words per kmer row (ceil(k/32)); solid rows are `words` wide,
+// repeat rows ceil((k-1)/32) wide. words=1 keeps the historical layout.
+void* scanner_create_span(int k, int words, int max_repeat, int snp_min_val,
+                          int branching_threshold, uint8_t homo_only, uint8_t snp,
+                          uint8_t deletion, uint8_t small_homo, uint8_t homo_insert,
+                          uint8_t backup, uint8_t hete_insert, const u64* solid,
+                          int64_t n_solid, const u64* repeat, int64_t n_repeat)
+{
+    Params P{k, max_repeat, snp_min_val, branching_threshold, homo_only,
+             snp, deletion, small_homo, homo_insert, backup, hete_insert};
+    switch (words)
+    {
+        case 1: return make_scanner<1>(P, solid, n_solid, repeat, n_repeat);
+        case 2: return make_scanner<2>(P, solid, n_solid, repeat, n_repeat);
+        case 3: return make_scanner<3>(P, solid, n_solid, repeat, n_repeat);
+        case 4: return make_scanner<4>(P, solid, n_solid, repeat, n_repeat);
+        case 5: return make_scanner<5>(P, solid, n_solid, repeat, n_repeat);
+        case 6: return make_scanner<6>(P, solid, n_solid, repeat, n_repeat);
+        case 7: return make_scanner<7>(P, solid, n_solid, repeat, n_repeat);
+        case 8: return make_scanner<8>(P, solid, n_solid, repeat, n_repeat);
+        default: return nullptr;
+    }
+}
 
 void* scanner_create(int k, int max_repeat, int snp_min_val, int branching_threshold,
                      uint8_t homo_only, uint8_t snp, uint8_t deletion, uint8_t small_homo,
                      uint8_t homo_insert, uint8_t backup, uint8_t hete_insert,
                      const u64* solid, int64_t n_solid, const u64* repeat, int64_t n_repeat)
 {
-    Scanner* s = new Scanner();
-    s->P = Params{k, max_repeat, snp_min_val, branching_threshold, homo_only,
-                  snp, deletion, small_homo, homo_insert, backup, hete_insert};
-    s->solid = solid;
-    s->n_solid = n_solid;
-    s->repeat = repeat;
-    s->n_repeat = n_repeat;
-    return s;
+    return scanner_create_span(k, 1, max_repeat, snp_min_val, branching_threshold, homo_only,
+                               snp, deletion, small_homo, homo_insert, backup, hete_insert,
+                               solid, n_solid, repeat, n_repeat);
 }
 
 void scanner_scan_sequence(void* h, const char* chrom_name, const char* chrom_seq,
@@ -840,34 +1016,24 @@ void scanner_scan_sequence(void* h, const char* chrom_name, const char* chrom_se
                            const int32_t* nb_out, const uint8_t* suffix_rep,
                            const uint8_t* prefix_rep, const int64_t* bed, int64_t n_bed)
 {
-    Scanner* s = (Scanner*)h;
-    s->chrom_name = chrom_name;
-    s->chrom_seq = chrom_seq;
-    s->chrom_len = chrom_len;
-    s->valid = valid;
-    s->fwd = fwd;
-    s->contains_p = contains;
-    s->nb_in_p = nb_in;
-    s->nb_out_p = nb_out;
-    s->suffix_rep_p = suffix_rep;
-    s->prefix_rep_p = prefix_rep;
-    s->scan_sequence(n_pos, bed, n_bed);
+    ((IScanner*)h)->scan(chrom_name, chrom_seq, chrom_len, n_pos, valid, fwd, contains,
+                         nb_in, nb_out, suffix_rep, prefix_rep, bed, n_bed);
 }
 
-int64_t scanner_bkpt_size(void* h) { return (int64_t)((Scanner*)h)->bkpt_out.size(); }
-int64_t scanner_vcf_size(void* h) { return (int64_t)((Scanner*)h)->vcf_out.size(); }
-const char* scanner_bkpt(void* h) { return ((Scanner*)h)->bkpt_out.c_str(); }
-const char* scanner_vcf(void* h) { return ((Scanner*)h)->vcf_out.c_str(); }
+int64_t scanner_bkpt_size(void* h) { return (int64_t)((IScanner*)h)->bkpt_out.size(); }
+int64_t scanner_vcf_size(void* h) { return (int64_t)((IScanner*)h)->vcf_out.size(); }
+const char* scanner_bkpt(void* h) { return ((IScanner*)h)->bkpt_out.c_str(); }
+const char* scanner_vcf(void* h) { return ((IScanner*)h)->vcf_out.c_str(); }
 
 void scanner_stats(void* h, long long* out12)
 {
-    Stats& st = ((Scanner*)h)->stats;
+    Stats& st = ((IScanner*)h)->stats;
     long long vals[12] = {st.homo_clean, st.homo_fuzzy, st.hetero_clean, st.hetero_fuzzy,
                           st.fuzzy_deletion, st.clean_deletion, st.solo_snp, st.multi_snp,
                           st.backup, st.homo_clean_indel, st.homo_fuzzy_indel, st.hetero_indel};
     memcpy(out12, vals, sizeof(vals));
 }
 
-void scanner_free(void* h) { delete (Scanner*)h; }
+void scanner_free(void* h) { delete (IScanner*)h; }
 
 }  // extern "C"

@@ -37,3 +37,20 @@ def test_native_matches_python(tmp_path, extra):
     run_find(tmp, "nat", "native", extra)
     assert open(f"{tmp}/py.breakpoints").read() == open(f"{tmp}/nat.breakpoints").read()
     assert _records(f"{tmp}/py.othervariants.vcf") == _records(f"{tmp}/nat.othervariants.vcf")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("k", [45, 64, 96], ids=["k45", "k64", "k96"])
+def test_native_matches_python_span(tmp_path, k):
+    """Multi-word (k > 32) native scanner vs the python automaton: identical
+    record streams. Data: the reference's own reads at larger k (abundance 3
+    keeps enough solid kmers at the lower effective coverage)."""
+    from mindthegap_tpu.find import native_scan
+
+    assert native_scan.available(), "native automaton failed to build"
+    tmp = str(tmp_path)
+    extra = ("-kmer-size", str(k), "-abundance-min", "3")
+    run_find(tmp, "py", "host", extra)
+    run_find(tmp, "nat", "native", extra)
+    assert open(f"{tmp}/py.breakpoints").read() == open(f"{tmp}/nat.breakpoints").read()
+    assert _records(f"{tmp}/py.othervariants.vcf") == _records(f"{tmp}/nat.othervariants.vcf")
