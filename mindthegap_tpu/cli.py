@@ -46,7 +46,7 @@ FIND_OPTIONS = {
     "max-memory": (True, "2000", "max memory for graph building (in MBytes)", True),
     "verbose": (True, "1", "verbosity level", True),
     "scan-engine": (True, "auto", "reference-scan engine: auto | host | device | sharded", False),
-    "count-engine": (True, "auto", "k-mer counting engine: auto | host | device | sharded", False),
+    "count-engine": (True, "auto", "k-mer counting engine: auto | host | device | sharded | partitioned", False),
     "automaton": (True, "auto", "breakpoint automaton: auto | native | host", False),
 }
 
@@ -66,7 +66,7 @@ FILL_OPTIONS = {
     "max-length": (True, "10000", "maximum length of insertions (nt)", True),
     "fwd-only": (False, None, "do not try in reverse direction if no inserted sequence is assembled (bkpt mode)", True),
     "fill-engine": (True, "auto", "gap-fill walk engine: auto | host | device", False),
-    "count-engine": (True, "auto", "k-mer counting engine: auto | host | device | sharded", False),
+    "count-engine": (True, "auto", "k-mer counting engine: auto | host | device | sharded | partitioned", False),
     "nb-cores": (True, "0", "number of cores", True),
     "max-disk": (True, "0", "max disk for graph building   (in MBytes)", True),
     "max-memory": (True, "2000", "max memory for graph building (in MBytes)", True),

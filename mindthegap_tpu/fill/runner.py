@@ -149,6 +149,9 @@ class Filler:
                 opts.get("abundance-min", "auto"),
                 int(opts.get("abundance-max", 2147483647)),
                 count_engine=str(opts.get("count-engine", "auto")),
+                max_memory_mb=int(opts.get("max-memory", 2000)),
+                max_disk_mb=int(opts.get("max-disk", 0)),
+                tmp_prefix=str(opts.get("out-tmp", ".")) or None,
             )
         else:
             sys.stderr.write("Loading the graph...")

@@ -302,6 +302,9 @@ def run_find(opts: dict, out=None) -> Properties:
             opts.get("abundance-min", "auto"),
             int(opts.get("abundance-max", 2147483647)),
             count_engine=str(opts.get("count-engine", "auto")),
+            max_memory_mb=int(opts.get("max-memory", 2000)),
+            max_disk_mb=int(opts.get("max-disk", 0)),
+            tmp_prefix=str(opts.get("out-tmp", ".")) or None,
         )
         k = int(opts.get("kmer-size", 31))
         graph.save(prefix + ".h5")

@@ -219,44 +219,81 @@ class Graph:
         return Graph(solid, info)
 
 
+def _estimate_bases(reads_uri: str) -> int:
+    """Cheap upper-ish bound on total bases from file sizes (gz assumed 4x)."""
+    from ..io.bank import _expand_uri
+
+    total = 0
+    for path in _expand_uri(reads_uri):
+        try:
+            sz = os.path.getsize(path)
+        except OSError:
+            continue
+        total += sz * 4 if path.endswith(".gz") else sz
+    return total
+
+
 def build_graph(
     reads_uri: str,
     k: int,
     abundance_min: str | int = "auto",
     abundance_max: int = 2147483647,
     count_engine: str = "auto",
+    max_memory_mb: int = 2000,
+    max_disk_mb: int = 0,
+    tmp_prefix: str | None = None,
 ) -> Graph:
     """Count reads and build the solid-kmer graph (Graph::create equivalent).
 
     count_engine: "host" (numpy/native sort+RLE), "device" (per-batch k-mer
     extraction + sort on the accelerator, ops/counting_device.py), "sharded"
     (mesh-distributed counting with all_to_all key routing + exact psum
-    histogram, parallel/sharded_count.py), or "auto" (host)."""
+    histogram, parallel/sharded_count.py), or "auto" (host; switches to the
+    disk-partitioned out-of-core counter when the in-RAM counting footprint
+    could exceed `max_memory_mb` — the reference's -max-memory contract,
+    src/Finder.cpp:103-105)."""
     from ..io.bank import iter_codes
 
-    if count_engine == "sharded" and k <= 32:
-        from ..parallel.sharded_count import ShardedStreamingCounter
+    auto = isinstance(abundance_min, str) and abundance_min == "auto"
 
-        counter = ShardedStreamingCounter(k)
+    est_bases = _estimate_bases(reads_uri)
+    budget_bytes = max(int(max_memory_mb), 16) << 20
+    # StreamingCounter peak ~ 16B/distinct kmer x2 during merges; worst case
+    # every base starts a distinct kmer
+    needs_partition = k <= 32 and est_bases * 32 > budget_bytes
+
+    if count_engine == "sharded" and k <= 32:
+        counter = _make_sharded_counter(k)
     elif count_engine == "device" and k <= 32:
         from ..ops.counting_device import DeviceStreamingCounter
 
         counter = DeviceStreamingCounter(k)
+    elif count_engine == "partitioned" or (count_engine == "auto" and needs_partition):
+        counter = counting.PartitionedCounter(
+            k, memory_mb=max_memory_mb, disk_mb=max_disk_mb,
+            tmp_dir=tmp_prefix, expected_bases=est_bases,
+        )
     else:
         counter = counting.StreamingCounter(k)
     for _hdr, codes in iter_codes(reads_uri):
         counter.add_codes(codes)
-    res = counter.result()
 
-    auto = isinstance(abundance_min, str) and abundance_min == "auto"
-    if auto:
-        cutoff = counting.auto_cutoff(res.histogram)
+    if isinstance(counter, counting.PartitionedCounter):
+        # two-pass finalize keeps only one partition resident at a time and
+        # never materializes the non-solid kmers
+        cutoff_fn = counting.auto_cutoff if auto else (lambda _hist: int(abundance_min))
+        keys, counts, hist, cutoff = counter.finalize(cutoff_fn, abundance_max)
+        solid = SolidSet(keys, k, counts)
+        n_solid = int(keys.size)
     else:
-        cutoff = int(abundance_min)
-    keep = (res.counts >= cutoff) & (res.counts <= abundance_max)
-    solid = SolidSet(res.kmers[keep], k, res.counts[keep])
+        res = counter.result()
+        cutoff = counting.auto_cutoff(res.histogram) if auto else int(abundance_min)
+        keep = (res.counts >= cutoff) & (res.counts <= abundance_max)
+        solid = SolidSet(res.kmers[keep], k, res.counts[keep])
+        n_solid = int(keep.sum())
+
     info = {
-        "kmers_nb_solid": int(keep.sum()),
+        "kmers_nb_solid": n_solid,
         "thresholds": cutoff,
         "abundance_max": abundance_max,
         "abundance_min_is_auto": bool(auto),
@@ -266,6 +303,12 @@ def build_graph(
     g = Graph(solid, info)
     g.info["nb_branching"] = g.nb_branching()
     return g
+
+
+def _make_sharded_counter(k: int):
+    from ..parallel.sharded_count import ShardedStreamingCounter
+
+    return ShardedStreamingCounter(k)
 
 
 def build_repeat_set(ref_uri: str, k_minus_1: int, min_occ: int) -> SolidSet:

@@ -131,3 +131,65 @@ def test_sharded_count_graph_identical(tmp_path):
     assert gh.info == gs.info
     assert np.array_equal(gh.solid.keys, gs.solid.keys)
     assert np.array_equal(gh.solid.counts, gs.solid.counts)
+
+
+def test_partitioned_counter_matches_host(tmp_path):
+    """PartitionedCounter (disk-spill by key range, -max-memory contract)
+    must reproduce the host counter exactly; a tiny budget forces many
+    partitions."""
+    import numpy as np
+
+    from mindthegap_tpu.io.bank import iter_codes
+    from mindthegap_tpu.ops.counting import PartitionedCounter, StreamingCounter
+
+    k = 21
+    host = StreamingCounter(k)
+    part = PartitionedCounter(k, memory_mb=16, tmp_dir=str(tmp_path),
+                              n_partitions=8, batch_kmers=1 << 12)
+    for _h, codes in iter_codes("/root/reference/data/reads_r1.fastq"):
+        host.add_codes(codes)
+        part.add_codes(codes)
+    assert part.n_partitions_used() > 1
+    hr = host.result()
+    pr = part.result()
+    assert np.array_equal(hr.kmers, pr.kmers)
+    assert np.array_equal(hr.counts, pr.counts)
+    assert np.array_equal(hr.histogram, pr.histogram)
+
+
+def test_partitioned_build_graph_identical(tmp_path):
+    """build_graph via the partitioned engine == host engine byte-for-byte
+    (auto cutoff flows through the two-pass finalize)."""
+    import numpy as np
+
+    uri = "/root/reference/data/reads_r1.fastq,/root/reference/data/reads_r2.fastq"
+    gh = dbg.build_graph(uri, 31, "auto", count_engine="host")
+    gp = dbg.build_graph(uri, 31, "auto", count_engine="partitioned",
+                         max_memory_mb=16, tmp_prefix=str(tmp_path))
+    assert gh.info == gp.info
+    assert np.array_equal(gh.solid.keys, gp.solid.keys)
+    assert np.array_equal(gh.solid.counts, gp.solid.counts)
+
+
+def test_partitioned_resplit_oversized_partition(tmp_path):
+    """A spill partition bigger than the budget is recursively re-split by
+    the next key bits and still yields exact, ordered runs."""
+    import numpy as np
+
+    from mindthegap_tpu.ops.counting import PartitionedCounter
+
+    k = 21
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 4, size=200_000, dtype=np.uint8)
+    # 2 partitions so one file takes ~half the kmers; 16 MB is the floor, so
+    # shrink the budget attribute directly to force the resplit path
+    pc = PartitionedCounter(k, memory_mb=16, tmp_dir=str(tmp_path), n_partitions=2)
+    pc.add_codes(codes)
+    pc._budget = 1 << 17  # 128 KB: every partition file (~0.8 MB) re-splits
+    res = pc.result()
+    from mindthegap_tpu.ops import kmers as K
+
+    want_u, want_c = np.unique(K.canonical_u64(
+        K.kmers_from_codes(codes, k)[0], k), return_counts=True)
+    assert np.array_equal(res.kmers, want_u)
+    assert np.array_equal(res.counts, want_c)
