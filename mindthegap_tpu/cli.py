@@ -48,6 +48,8 @@ FIND_OPTIONS = {
     "scan-engine": (True, "auto", "reference-scan engine: auto | host | device | sharded", False),
     "count-engine": (True, "auto", "k-mer counting engine: auto | host | device | sharded | partitioned", False),
     "automaton": (True, "auto", "breakpoint automaton: auto | native | host", False),
+    "profile": (False, None, "add per-phase wall-clock timings to the result report", False),
+    "profile-trace": (True, None, "directory for a jax.profiler trace of the run", False),
 }
 
 FILL_OPTIONS = {
@@ -71,6 +73,8 @@ FILL_OPTIONS = {
     "max-disk": (True, "0", "max disk for graph building   (in MBytes)", True),
     "max-memory": (True, "2000", "max memory for graph building (in MBytes)", True),
     "verbose": (True, "1", "verbosity level", True),
+    "profile": (False, None, "add per-phase wall-clock timings to the result report", False),
+    "profile-trace": (True, None, "directory for a jax.profiler trace of the run", False),
 }
 
 

@@ -141,8 +141,15 @@ class Filler:
             opts["out"] = "MindTheGap_Expe-" + time.strftime("%Y-%m-%d.%I:%M")
         prefix = opts["out"]
 
+        from ..utils.phases import PhaseTimer, maybe_trace
+
+        self.phases = PhaseTimer()
+        trace_ctx = maybe_trace(opts.get("profile-trace"))
+        trace_ctx.__enter__()
+
         t0 = time.time()
         if has_in:
+          with self.phases.phase("graph build"):
             self.graph = dbg.build_graph(
                 opts["in"],
                 int(opts.get("kmer-size", 31)),
@@ -154,11 +161,13 @@ class Filler:
                 tmp_prefix=str(opts.get("out-tmp", ".")) or None,
             )
         else:
+          with self.phases.phase("graph load"):
             sys.stderr.write("Loading the graph...")
             self.graph = dbg.Graph.load(opts["graph"])
             sys.stderr.write("done\n")
         self.k = self.graph.k
-        self.view = GraphView(self.graph)
+        with self.phases.phase("graph view (quotient map) build"):
+            self.view = GraphView(self.graph)
 
         self.breakpoint_mode = has_bkpt
         self.verbose = int(opts.get("verbose", 1))
@@ -200,10 +209,11 @@ class Filler:
         bank_uri = opts["bkpt"] if self.breakpoint_mode else opts["contig"]
         self.breakpoint_bank = Bank.open(bank_uri)
 
-        if self.breakpoint_mode:
-            self._fill_breakpoints()
-        else:
-            self._fill_contigs()
+        with self.phases.phase("fill jobs"):
+            if self.breakpoint_mode:
+                self._fill_breakpoints()
+            else:
+                self._fill_contigs()
 
         self.insert_file.close()
         self.insert_info_file.close()
@@ -215,6 +225,7 @@ class Filler:
             self.extension_file.close()
 
         seconds = time.time() - t0
+        trace_ctx.__exit__(None, None, None)
         info = self._resume(seconds)
         self.out.write(info.dump())
         return info
@@ -756,6 +767,9 @@ class Filler:
         info.add(3, "as_unique_sequence", "%i", self.nb_filled_breakpoints - self.nb_multiple_fill)
         info.add(3, "as_multiple_sequence", "%i", self.nb_multiple_fill)
         info.add(1, "Time", "%.1f s", seconds)
+        if self.opts.get("profile"):
+            info.add(1, "Per-phase timings")
+            self.phases.add_to_info(info, 2)
         info.add(1, "Output files")
         info.add(2, "assembled sequence file", self.insert_file_name)
         if self.breakpoint_mode:

@@ -294,23 +294,31 @@ def run_find(opts: dict, out=None) -> Properties:
         opts["out"] = default_output_prefix()
     prefix = opts["out"]
 
+    from ..utils.phases import PhaseTimer, maybe_trace
+
+    phases = PhaseTimer()
+    trace_ctx = maybe_trace(opts.get("profile-trace"))
+    trace_ctx.__enter__()
+
     t0 = time.time()
     if has_in:
-        graph = dbg.build_graph(
-            opts["in"],
-            int(opts.get("kmer-size", 31)),
-            opts.get("abundance-min", "auto"),
-            int(opts.get("abundance-max", 2147483647)),
-            count_engine=str(opts.get("count-engine", "auto")),
-            max_memory_mb=int(opts.get("max-memory", 2000)),
-            max_disk_mb=int(opts.get("max-disk", 0)),
-            tmp_prefix=str(opts.get("out-tmp", ".")) or None,
-        )
-        k = int(opts.get("kmer-size", 31))
-        graph.save(prefix + ".h5")
+        with phases.phase("graph build"):
+            graph = dbg.build_graph(
+                opts["in"],
+                int(opts.get("kmer-size", 31)),
+                opts.get("abundance-min", "auto"),
+                int(opts.get("abundance-max", 2147483647)),
+                count_engine=str(opts.get("count-engine", "auto")),
+                max_memory_mb=int(opts.get("max-memory", 2000)),
+                max_disk_mb=int(opts.get("max-disk", 0)),
+                tmp_prefix=str(opts.get("out-tmp", ".")) or None,
+            )
+            k = int(opts.get("kmer-size", 31))
+            graph.save(prefix + ".h5")
     else:
-        graph = dbg.Graph.load(opts["graph"])
-        k = graph.k
+        with phases.phase("graph load"):
+            graph = dbg.Graph.load(opts["graph"])
+            k = graph.k
 
     bed_file = opts.get("bed", "")
 
@@ -353,7 +361,8 @@ def run_find(opts: dict, out=None) -> Properties:
     vcf_name = prefix + ".othervariants.vcf"
 
     ref_uri = opts["ref"]
-    repeat_set = dbg.build_repeat_set(ref_uri, k - 1, het_max_occ + 1)
+    with phases.phase("reference repeat set"):
+        repeat_set = dbg.build_repeat_set(ref_uri, k - 1, het_max_occ + 1)
 
     from . import native_scan
 
@@ -400,14 +409,17 @@ def run_find(opts: dict, out=None) -> Properties:
         progress = Progress(
             refbank.estimate_sequences_size(), "Finding breakpoints", enabled=verbose > 0
         )
-        plane_fn = _make_plane_fn(opts.get("scan-engine", "auto"), graph, repeat_set, k)
+        with phases.phase("scan engine setup"):
+            plane_fn = _make_plane_fn(opts.get("scan-engine", "auto"), graph, repeat_set, k)
         for rec in refbank:
             codes = dna.seq_to_codes(rec.seq)
-            planes = plane_fn(codes)
+            with phases.phase("scan planes"):
+                planes = plane_fn(codes)
             bed_intervals = None
             if bed_file:
                 bed_intervals = parse_bed_for_chrom(bed_file, rec.comment_short, k)
-            ctx.scan_sequence(rec.comment_short, rec.seq, planes, bed_intervals)
+            with phases.phase("automaton replay"):
+                ctx.scan_sequence(rec.comment_short, rec.seq, planes, bed_intervals)
             progress.inc(len(rec.seq))
         progress.finish()
 
@@ -422,9 +434,11 @@ def run_find(opts: dict, out=None) -> Properties:
             ctx = _StatsHolder(stats)
 
     seconds = time.time() - t0
+    trace_ctx.__exit__(None, None, None)
     info = _resume(opts, graph, ctx, k, seconds, breakpoint_name, vcf_name,
                    max_repeat, het_max_occ, branching_threshold,
-                   homo_insert, hete_insert, snp, deletion, bed_file)
+                   homo_insert, hete_insert, snp, deletion, bed_file,
+                   phases if opts.get("profile") else None)
     out.write(info.dump())
     return info
 
@@ -448,7 +462,8 @@ def _write_vcf_header(vcf_f, opts):
 
 def _resume(opts, graph, ctx, k, seconds, bkpt_name, vcf_name,
             max_repeat, het_max_occ, branching_threshold,
-            homo_insert, hete_insert, snp, deletion, bed_file) -> Properties:
+            homo_insert, hete_insert, snp, deletion, bed_file,
+            phases=None) -> Properties:
     s = ctx.stats
     info = Properties()
     info.add(0, "MindTheGap find")
@@ -496,6 +511,9 @@ def _resume(opts, graph, ctx, k, seconds, bkpt_name, vcf_name,
     info.add(2, "Heterozygous insertions 1-2 bp size", "%i", s.hetero_indel)
     info.add(2, "SNPs", "%i", s.solo_snp + s.multi_snp)
     info.add(1, "Time", "%.1f s", seconds)
+    if phases is not None:
+        info.add(1, "Per-phase timings")
+        phases.add_to_info(info, 2)
     info.add(1, "Output files")
     if opts.get("in"):
         info.add(2, "graph_file", "%s.h5", opts["out"])
