@@ -38,6 +38,7 @@ from ..ops.span import canonical_int
 
 @dataclass
 class TraversalPolicy:
+    trace_fn: object = None            # optional callback(event:str, **kw) for calibration
     in_branch_stop: bool = True        # stop when the unique successor has in-degree > 1
     explore_branching: bool = True     # Monument-style bubble/tip crossing
     bubble_max_depth: int = 500
@@ -48,6 +49,11 @@ class TraversalPolicy:
     branch_stop_mark: bool = False     # mark the branching node an extension stopped at
     skip_marked_start: str = "kmer"      # "skip" | "kmer" (emit bare kmer) | "no"
     stop_at_marked: bool = True        # stop extension when the next node is marked
+    explore_marked_fail: bool = False  # bubble/tip crossing fails on marked frontier nodes
+    merge_reverse_check: bool = False  # cross a pure merge only if a REVERSE
+    # frontline from the merge node collapses (or dies) within the bubble
+    # caps — i.e. the external in-arm is a local bubble/tip, not a genuinely
+    # different long path (GATB MonumentTraversal in-branching validation)
     swf_mode: str = "none"             # "none" | "r_in_seq" | "seq_in_r" | "anchor_in_seq"
     swf_noextend: bool = False         # swf hit suppresses pushes instead of breaking
     push_on_marked_stop: bool = True   # push the marked stop-node as a new seed
@@ -188,17 +194,24 @@ class Terminator:
         return self.view.canonical(fwd) in self.marked
 
 
-def _find_end_of_branching(view: GraphView, start: int, policy: TraversalPolicy):
+def _find_end_of_branching(view: GraphView, start: int, policy: TraversalPolicy,
+                           term: "Terminator | None" = None):
     """Frontline BFS from a branching node until the frontline collapses to a
     single node. Fails on external in-branching (a new frontline node with a
     predecessor that was never frontlined — the GATB FrontlineBranching
-    check), on dead frontlines, and on depth/breadth caps.
+    check), on dead frontlines, on depth/breadth caps, and (with
+    policy.explore_marked_fail) on frontline nodes already marked by the
+    terminator (GATB's marked-territory check).
 
     Returns (end_node, depth, involved) or None."""
     already = {view.canonical(start)}
     frontline = [nxt for _, nxt in view.successors(start)]
     for n in frontline:
         already.add(view.canonical(n))
+    if policy.explore_marked_fail and term is not None:
+        for n in frontline:
+            if term.is_marked(n):
+                return None
     involved = set(frontline)
     depth = 1
     while depth < policy.bubble_max_depth:
@@ -216,6 +229,8 @@ def _find_end_of_branching(view: GraphView, start: int, policy: TraversalPolicy)
                 for _, prd in view.predecessors(nxt):
                     if view.canonical(prd) not in already:
                         return None
+                if policy.explore_marked_fail and term is not None and term.is_marked(nxt):
+                    return None
                 c = view.canonical(nxt)
                 if c in already:
                     if c in seen_new and nxt not in new_frontline:
@@ -228,6 +243,34 @@ def _find_end_of_branching(view: GraphView, start: int, policy: TraversalPolicy)
         frontline = new_frontline
         depth += 1
     return None
+
+
+def _reverse_collapse_ok(view: GraphView, node: int, policy: TraversalPolicy) -> bool:
+    """Reverse frontline BFS from an in-branching node: True when the
+    frontline collapses to <= 1 node (the in-arms share a recent ancestor) or
+    dies entirely (error tips) within the bubble caps. This is the
+    admissibility test for crossing a pure merge (merge_reverse_check)."""
+    already = {view.canonical(node)}
+    frontline = [p for _, p in view.predecessors(node)]
+    for n in frontline:
+        already.add(view.canonical(n))
+    depth = 1
+    while depth < policy.bubble_max_depth:
+        if len(frontline) <= 1:
+            return True
+        if len(frontline) > policy.bubble_max_breadth:
+            return False
+        new_frontline: list[int] = []
+        for n in frontline:
+            for _, p in view.predecessors(n):
+                c = view.canonical(p)
+                if c in already:
+                    continue
+                already.add(c)
+                new_frontline.append(p)
+        frontline = new_frontline
+        depth += 1
+    return False
 
 
 def _all_paths_between(view: GraphView, start: int, end: int, max_depth: int, max_breadth: int):
@@ -251,7 +294,7 @@ def _all_paths_between(view: GraphView, start: int, end: int, max_depth: int, ma
 def _explore_branching(view: GraphView, term: Terminator, node: int, policy: TraversalPolicy):
     """Monument explore_branching: cross a tip/clean bubble, returning
     (consensus string, end node), or None."""
-    res = _find_end_of_branching(view, node, policy)
+    res = _find_end_of_branching(view, node, policy, term)
     if res is None:
         return None
     end, depth, involved = res
@@ -334,8 +377,16 @@ def traverse_right_co(view: GraphView, term: Terminator, start: int, policy: Tra
             policy.in_branch_stop and len(view.predecessors(succs[0][1])) > 1
         ):
             crossed = None
-            if policy.explore_branching:
+            merge_only = len(succs) == 1
+            admissible = True
+            if merge_only and policy.merge_reverse_check:
+                admissible = _reverse_collapse_ok(view, succs[0][1], policy)
+            if policy.explore_branching and admissible:
                 crossed = _explore_branching(view, term, node, policy)
+            if policy.trace_fn:
+                policy.trace_fn("branch", offset=slen, node=node,
+                                kind="fork" if len(succs) > 1 else "merge",
+                                crossed=None if crossed is None else len(crossed[0]))
             if crossed is None:
                 reason = "fork" if len(succs) > 1 else "merge"
                 if policy.branch_stop_mark and len(succs) > 1:
@@ -347,6 +398,9 @@ def traverse_right_co(view: GraphView, term: Terminator, start: int, policy: Tra
             continue
         nt, nxt = succs[0]
         if view.is_branching(nxt):
+            if policy.trace_fn:
+                policy.trace_fn("step_branching", offset=slen, node=nxt,
+                                marked=term.is_marked(nxt))
             if policy.stop_at_marked and term.is_marked(nxt):
                 reason = "marked"
                 break
