@@ -61,29 +61,40 @@ def _reads_from(genome, n_bases, read_len=150, seed=7):
 
 
 def bench_scan(genome, solid, repeat):
+    """Times both device scan layouts — the 2-probe cuckoo quotient map (q)
+    and the single-probe 16-slot bucket map (qb) — and returns
+    (best_rate, {engine: rate})."""
     import jax.numpy as jnp
 
-    from mindthegap_tpu.find.scan_device import scan_planes_device_q
+    from mindthegap_tpu.find.scan_device import scan_planes_device_q, scan_planes_device_qb
     from mindthegap_tpu.ops import extmap as X
 
+    def time_engine(fn, args):
+        # compile + warm up (forcing a transfer: async dispatch on this
+        # backend does not reliably honor block_until_ready)
+        int(jnp.sum(fn(*args)["nb_in"]))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            int(jnp.sum(fn(*args)["nb_in"]))
+            best = min(best, time.perf_counter() - t0)
+        return genome.size / best
+
+    rates = {}
     qm = X.build_fused(solid, K, repeat)
-    args = (
-        jnp.asarray(genome),
-        jnp.asarray(qm.slots),
-        jnp.asarray(qm.stash_keys),
-        jnp.asarray(qm.stash_payload),
-        qm.log_size,
-        K,
+    rates["q"] = time_engine(
+        scan_planes_device_q,
+        (jnp.asarray(genome), jnp.asarray(qm.slots), jnp.asarray(qm.stash_keys),
+         jnp.asarray(qm.stash_payload), qm.log_size, K),
     )
-    # compile + warm up (forcing a transfer: async dispatch on this backend
-    # does not reliably honor block_until_ready)
-    int(jnp.sum(scan_planes_device_q(*args)["nb_in"]))
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        int(jnp.sum(scan_planes_device_q(*args)["nb_in"]))
-        best = min(best, time.perf_counter() - t0)
-    return genome.size / best
+    del qm
+    qb = X.build_fused_bucket(solid, K, repeat)
+    rates["qb"] = time_engine(
+        scan_planes_device_qb,
+        (jnp.asarray(genome), jnp.asarray(qb.slots), jnp.asarray(qb.stash_keys),
+         jnp.asarray(qb.stash_payload), qb.log_nb, K),
+    )
+    return max(rates.values()), rates
 
 
 def bench_count(genome):
@@ -238,7 +249,7 @@ def main():
     base_count = published.get("host_graph_build_kmers_per_s") or oracle_count(genome)
     base_fill = published.get("host_fill_gapfills_per_s") or oracle_fill(genome, solid)
 
-    scan_rate = bench_scan(genome, solid, repeat)
+    scan_rate, scan_engines = bench_scan(genome, solid, repeat)
     count_rate = bench_count(genome)
     fill_rate = bench_fill(genome, solid)
 
@@ -248,6 +259,7 @@ def main():
         "unit": "bases/s/chip",
         "vs_baseline": round(scan_rate / base_scan, 2),
         "extra": {
+            "scan_engines": {k2: round(v) for k2, v in scan_engines.items()},
             "graph_build_kmers_per_s": round(count_rate),
             "graph_build_vs_baseline": round(count_rate / base_count, 2),
             "fill_gapfills_per_s": round(fill_rate, 1),

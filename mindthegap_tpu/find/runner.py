@@ -99,15 +99,29 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
         import jax.numpy as jnp
 
         from ..ops import extmap as X
-        from .scan_device import scan_planes_device_q
+        from .scan_device import scan_planes_device_q, scan_planes_device_qb
         from .scan import Planes
 
-        qm = X.build_fused(graph.solid.kmers, k, repeat_set.kmers)
-        d = {
-            "slots": jnp.asarray(qm.slots),
-            "sk": jnp.asarray(qm.stash_keys),
-            "sv": jnp.asarray(qm.stash_payload),
-        }
+        if engine == "device-qb":
+            # single-probe 16-slot bucket map: 1 gather/position (ops/extmap.py
+            # QMapB header math) vs the cuckoo map's 2
+            qb = X.build_fused_bucket(graph.solid.kmers, k, repeat_set.kmers)
+            d = {
+                "slots": jnp.asarray(qb.slots),
+                "sk": jnp.asarray(qb.stash_keys),
+                "sv": jnp.asarray(qb.stash_payload),
+            }
+            log_param = qb.log_nb
+            scan_fn = scan_planes_device_qb
+        else:
+            qm = X.build_fused(graph.solid.kmers, k, repeat_set.kmers)
+            d = {
+                "slots": jnp.asarray(qm.slots),
+                "sk": jnp.asarray(qm.stash_keys),
+                "sv": jnp.asarray(qm.stash_payload),
+            }
+            log_param = qm.log_size
+            scan_fn = scan_planes_device_q
 
         window = 1 << 22
         halo = k - 1
@@ -123,8 +137,8 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
                 take = min(window - halo, npos - pos)
                 chunk = np.full(window, 255, np.uint8)
                 chunk[: min(take + halo, n - pos)] = codes[pos : pos + take + halo]
-                res = scan_planes_device_q(
-                    jnp.asarray(chunk), d["slots"], d["sk"], d["sv"], qm.log_size, k,
+                res = scan_fn(
+                    jnp.asarray(chunk), d["slots"], d["sk"], d["sv"], log_param, k,
                 )
                 for key in outs:
                     outs[key].append(np.asarray(res[key])[:take])

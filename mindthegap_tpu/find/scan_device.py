@@ -218,6 +218,44 @@ def scan_planes_device_q(codes, slots, stash_k, stash_v, log_size: int, k: int):
     }
 
 
+@partial(jax.jit, static_argnames=("log_nb", "k"))
+def scan_planes_device_qb(codes, slots, stash_k, stash_v, log_nb: int, k: int):
+    """Plane pass over the single-probe bucket map (ops/extmap.py QMapB):
+    ONE 128-byte bucket gather per position for the full plane set — half
+    the gather issues of the 2-probe cuckoo QMap (the pass is bound by the
+    per-index gather issue rate, not bytes; see QMapB header math)."""
+    from ..ops import extmap as X
+
+    qm = X.QMapB(slots, log_nb, stash_k, stash_v)
+
+    q, _qvalid = rolling_kmers_device(codes, k - 1)
+    fwd, valid = rolling_kmers_device(codes, k)
+    p = fwd.shape[0]
+
+    canon_q = K.canonical_u64(q, k - 1, jnp)
+    is_canon = q == canon_q
+    pay16 = X.lookup_qb(qm, canon_q, xp=jnp)
+    payload = (pay16 & jnp.uint16(0xFF)).astype(jnp.uint8)
+    rep = ((pay16 >> jnp.uint16(8)) & jnp.uint16(1)).astype(bool)
+
+    last_base = jnp.where(codes[k - 1 :] == INVALID, 0, codes[k - 1 :]).astype(jnp.uint8)
+    contains, nb_in, nb_out = X.planes_from_payload(
+        payload[:p], payload[1:], is_canon[:p], is_canon[1:], last_base, xp=jnp
+    )
+    nb_out = jnp.where(contains, nb_out, 0).astype(jnp.int32)
+    nb_in = jnp.where(contains, nb_in, 0).astype(jnp.int32)
+
+    return {
+        "fwd": fwd,
+        "valid": valid,
+        "contains": contains,
+        "nb_in": nb_in,
+        "nb_out": nb_out,
+        "suffix_rep": rep[1:],
+        "prefix_rep": rep[:p],
+    }
+
+
 @partial(jax.jit, static_argnames=("salt", "log_size", "k"))
 def scan_planes_device_q_span(codes, slots, sat, stash_k64, stash_sat, stash_v,
                               salt: int, log_size: int, k: int):

@@ -723,3 +723,142 @@ def lookup_q(qm: QMap, canon_keys, xp=np):
         ).astype(xp.uint16)
         out = out | add
     return out
+
+
+# ---------------------------------------------------------------------------
+# Single-probe bucketized quotient map ("QMapB") — 1 HBM gather per position.
+#
+# Measurement (v5e, microbench): a u64 gather costs ~2 u32-gather issues and
+# the find scan sits exactly at the u32 issue roofline (~70M u32-gathers/s at
+# table scale), while WIDE row gathers amortize the per-index cost (8x u64
+# slices gathered at ~150-230M rows/s). So the winning layout replaces the
+# QMap's 2 independent u64 probes with ONE 16-slot bucket slice (128 B,
+# contiguous) per lookup:
+#
+#   h = mix(key)                      (bijective, invertible)
+#   bucket = h >> (64 - log_nb)       (top bits)
+#   rem    = h & ((1<<(64-log_nb))-1) (the rest — slot pins it exactly)
+#   slot   = [rem : 54][valid:1][payload:9]   (requires log_nb >= 10)
+#
+# Keys whose bucket holds >16 entries go to the <=64-entry stash (mean load
+# is sized ~4/bucket; Poisson tail P(>16) ~ 1e-6). Exact — no fingerprints.
+
+_QB_SLOTS = 16
+_QB_SHIFT_PAY = np.uint64(10)
+_QB_VALID = np.uint64(1 << 9)
+
+
+@dataclass
+class QMapB:
+    slots: np.ndarray  # u64 [NB * 16]; 0 = empty
+    log_nb: int
+    stash_keys: np.ndarray  # u64 (EMPTY-padded)
+    stash_payload: np.ndarray  # u16
+
+    @property
+    def nbytes(self):
+        return self.slots.nbytes
+
+
+def _fused_entries(solid_canonical, k, repeat_canonical):
+    """(keys, u16 payloads) of the fused (k-1)-mer table (shared by the
+    cuckoo QMap and the bucketized QMapB builders)."""
+    ext_keys, ext_pay = _ext_bits(solid_canonical, k)
+    rep_keys = np.unique(np.asarray(repeat_canonical, dtype=np.uint64))
+    keys_all = np.concatenate([ext_keys, rep_keys])
+    vals_all = np.concatenate(
+        [ext_pay.astype(np.uint16), np.full(rep_keys.size, QREP_BIT, np.uint16)]
+    )
+    order = np.argsort(keys_all, kind="stable")
+    ks, vs = keys_all[order], vals_all[order]
+    if ks.size == 0:
+        return ks, vs
+    uniq = np.empty(ks.size, bool)
+    uniq[0] = True
+    uniq[1:] = ks[1:] != ks[:-1]
+    group = np.cumsum(uniq) - 1
+    merged = np.zeros(int(group[-1]) + 1, np.uint16)
+    np.bitwise_or.at(merged, group, vs)
+    return ks[uniq], merged
+
+
+def build_fused_bucket(
+    solid_canonical: np.ndarray,
+    k: int,
+    repeat_canonical: np.ndarray,
+    mean_load: float = 4.0,
+) -> "QMapB":
+    """Bucketized union table over canonical (k-1)-mers (payload semantics
+    identical to build_fused): ext/pre bits 0-7 + repeat bit 8."""
+    keys, vals = _fused_entries(solid_canonical, k, repeat_canonical)
+    n = max(int(keys.size), 1)
+    log_nb = max(10, int(np.ceil(np.log2(n / (mean_load * 1.0)))))
+    nb = 1 << log_nb
+    shift = np.uint64(64 - log_nb)
+
+    h = _mix(keys, _H1)
+    bucket = (h >> shift).astype(np.int64)
+    rem = h & ((np.uint64(1) << shift) - np.uint64(1))
+
+    order = np.argsort(bucket, kind="stable")
+    bucket_s, rem_s, vals_s = bucket[order], rem[order], vals[order]
+    # rank within bucket
+    counts = np.bincount(bucket_s, minlength=nb)
+    starts = np.zeros(nb + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rank = np.arange(bucket_s.size, dtype=np.int64) - starts[bucket_s]
+
+    slots = np.zeros(nb * _QB_SLOTS, np.uint64)
+    fits = rank < _QB_SLOTS
+    idx = bucket_s[fits] * _QB_SLOTS + rank[fits]
+    slots[idx] = (rem_s[fits] << _QB_SHIFT_PAY) | _QB_VALID | vals_s[fits].astype(np.uint64)
+
+    over = ~fits
+    n_over = int(over.sum())
+    if n_over > 64:
+        raise ValueError(f"bucket map: {n_over} overflow keys (> stash); lower mean_load")
+    stash_k = keys[order][over]
+    stash_v = vals_s[over]
+    if stash_k.size == 0:
+        stash_k = np.array([EMPTY], np.uint64)
+        stash_v = np.zeros(1, np.uint16)
+    else:
+        so = np.argsort(stash_k)
+        stash_k, stash_v = stash_k[so], stash_v[so]
+    return QMapB(slots, log_nb, stash_k, stash_v)
+
+
+def lookup_qb(qm: QMapB, canon_keys, xp=np):
+    """Fused payload lookup: ONE 16-slot bucket gather (+ tiny stash pass).
+    Returns u16 payload (0 for absent keys)."""
+    keys = xp.asarray(canon_keys, dtype=xp.uint64)
+    shift = np.uint64(64 - qm.log_nb)
+    rem_mask = (np.uint64(1) << shift) - np.uint64(1)
+    h = (keys ^ (keys >> np.uint64(33))) * _H1
+    h = h ^ (h >> np.uint64(29))
+    rem = h & rem_mask
+    start = ((h >> shift) * np.uint64(_QB_SLOTS)).astype(
+        xp.int64 if xp is not np else np.int64
+    )
+    if xp is np:
+        rows = qm.slots[start[:, None] + np.arange(_QB_SLOTS)]
+    else:
+        import jax
+
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+        )
+        rows = jax.lax.gather(
+            qm.slots, start[:, None], dn, slice_sizes=(_QB_SLOTS,)
+        )
+    hit = ((rows >> _QB_SHIFT_PAY) == rem[:, None]) & ((rows & _QB_VALID) != 0)
+    pay = xp.where(hit, rows & QPAY_MASK, xp.zeros((), xp.uint64))
+    out = xp.max(pay, axis=1).astype(xp.uint16)
+    if int(qm.stash_keys.shape[0]):
+        eq = keys[:, None] == qm.stash_keys[None, :]
+        add = xp.sum(
+            xp.where(eq, qm.stash_payload[None, :], xp.zeros((), xp.uint16)).astype(xp.uint16),
+            axis=1,
+        ).astype(xp.uint16)
+        out = out | add
+    return out

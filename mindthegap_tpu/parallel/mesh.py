@@ -198,4 +198,12 @@ def pipeline_step(mesh: Mesh, read_codes: np.ndarray, windows: np.ndarray, solid
     nodes = np.asarray(solid_sorted, np.uint64)[: 2 * n_dev]
     budgets = np.full(nodes.shape, 32, np.int32)
     walk = walk_batch_sharded(mesh, nodes, budgets, qm, k, steps=16)
+    # sharded membership (Bloom prefilter + all_to_all routing) — the
+    # over-HBM membership shape, exercised here so the multichip dryrun
+    # covers its collectives too
+    from .sharded_membership import ShardedMembership
+
+    sm = ShardedMembership(mesh, np.asarray(solid_sorted, np.uint64))
+    probe = np.asarray(solid_sorted, np.uint64)[: 4 * n_dev]
+    assert bool(sm.contains(probe).all())
     return runs, ghist, planes, walk

@@ -145,3 +145,55 @@ def test_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_device_qb_scan_end_to_end_identical(tmp_path):
+    """The single-probe bucket-map scan engine (-scan-engine device-qb) must
+    produce byte-identical artifacts to the host engine."""
+    from mindthegap_tpu.find import runner
+
+    data = "/root/reference/data"
+    outs = {}
+    for eng in ("host", "device-qb"):
+        prefix = str(tmp_path / f"qb_{eng}")
+        opts = {
+            "in": f"{data}/reads_r1.fastq,{data}/reads_r2.fastq",
+            "ref": f"{data}/reference.fasta",
+            "out": prefix,
+            "scan-engine": eng,
+            "automaton": "host",
+            "verbose": 0,
+        }
+        import io
+
+        runner.run_find(opts, out=io.StringIO())
+        outs[eng] = (
+            open(prefix + ".breakpoints").read(),
+            [l for l in open(prefix + ".othervariants.vcf") if not l.startswith("##")],
+        )
+    assert outs["host"][0] == outs["device-qb"][0]
+    assert outs["host"][1] == outs["device-qb"][1]
+
+
+def test_sharded_membership_exact():
+    """Bloom-prefiltered all_to_all-routed membership over a range-sharded
+    key plane must equal host binary search exactly (present and absent,
+    including Bloom false positives killed by the owner's exact search)."""
+    import numpy as np
+
+    from mindthegap_tpu.parallel.sharded_membership import ShardedMembership
+
+    rng = np.random.default_rng(0)
+    keys = np.unique(rng.integers(0, 1 << 61, size=1 << 14, dtype=np.uint64))
+    sm = ShardedMembership(M.make_mesh(8), keys)
+    q = np.concatenate([
+        rng.choice(keys, size=4000),
+        rng.integers(0, 1 << 61, size=4000, dtype=np.uint64),
+    ])
+    rng.shuffle(q)
+    got = sm.contains(q)
+    idx = np.minimum(np.searchsorted(keys, q), keys.size - 1)
+    assert np.array_equal(got, keys[idx] == q)
+
+    empty = ShardedMembership(M.make_mesh(8), np.zeros(0, np.uint64))
+    assert not empty.contains(q[:128]).any()
