@@ -71,8 +71,16 @@ def bench_scan(genome, solid, repeat):
 
     def time_engine(fn, args):
         # compile + warm up (forcing a transfer: async dispatch on this
-        # backend does not reliably honor block_until_ready)
-        int(jnp.sum(fn(*args)["nb_in"]))
+        # backend does not reliably honor block_until_ready); the remote
+        # compile service can fail transiently — retry the first call
+        for attempt in range(4):
+            try:
+                int(jnp.sum(fn(*args)["nb_in"]))
+                break
+            except Exception:
+                if attempt == 3:
+                    raise
+                time.sleep(15)
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()

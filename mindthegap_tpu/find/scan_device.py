@@ -234,7 +234,7 @@ def scan_planes_device_qb(codes, slots, stash_k, stash_v, log_nb: int, k: int):
 
     canon_q = K.canonical_u64(q, k - 1, jnp)
     is_canon = q == canon_q
-    pay16 = X.lookup_qb(qm, canon_q, xp=jnp)
+    pay16 = X.lookup_qb_chunked(qm, canon_q)
     payload = (pay16 & jnp.uint16(0xFF)).astype(jnp.uint8)
     rep = ((pay16 >> jnp.uint16(8)) & jnp.uint16(1)).astype(bool)
 

@@ -828,6 +828,25 @@ def build_fused_bucket(
     return QMapB(slots, log_nb, stash_k, stash_v)
 
 
+def lookup_qb_chunked(qm: QMapB, canon_keys, chunk: int = 1 << 18):
+    """lookup_qb in lax.map chunks: the [P, 16] bucket-gather output pads 8x
+    in HBM (16 lanes -> 128), so a monolithic lookup at P ~ 2^24 allocates
+    ~8 GB of temp; chunking caps the padded temp at ~chunk * 1 KB while the
+    sequential map costs nothing (the pass is gather-issue-bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    p = canon_keys.shape[0]
+    if p <= chunk:
+        return lookup_qb(qm, canon_keys, xp=jnp)
+    pad = (-p) % chunk
+    keys_p = jnp.pad(canon_keys, (0, pad))
+    out = jax.lax.map(
+        lambda kk: lookup_qb(qm, kk, xp=jnp), keys_p.reshape(-1, chunk)
+    )
+    return out.reshape(-1)[:p]
+
+
 def lookup_qb(qm: QMapB, canon_keys, xp=np):
     """Fused payload lookup: ONE 16-slot bucket gather (+ tiny stash pass).
     Returns u16 payload (0 for absent keys)."""
