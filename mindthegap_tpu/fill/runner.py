@@ -166,8 +166,10 @@ class Filler:
             self.graph = dbg.Graph.load(opts["graph"])
             sys.stderr.write("done\n")
         self.k = self.graph.k
+        self.fill_engine = str(opts.get("fill-engine", "auto"))
         with self.phases.phase("graph view (quotient map) build"):
-            self.view = GraphView(self.graph)
+            layout = "bucket" if self.fill_engine == "device-qb" else "cuckoo"
+            self.view = GraphView(self.graph, layout=layout)
 
         self.breakpoint_mode = has_bkpt
         self.verbose = int(opts.get("verbose", 1))
@@ -186,7 +188,6 @@ class Filler:
         self.filter = bool(opts.get("filter"))
         self.fwd_only = bool(opts.get("fwd-only"))
         self.extend = bool(opts.get("extend"))
-        self.fill_engine = str(opts.get("fill-engine", "auto"))
 
         self.insert_file_name = prefix + ".insertions.fasta"
         self.insert_file = open(self.insert_file_name, "w")
@@ -299,6 +300,8 @@ class Filler:
     # ------------------------------------------------------------------
     def _run_jobs(self, fn, co_fn, jobs):
         engine = self.fill_engine
+        if engine == "device-qb":
+            engine = "device"  # same dispatch; the view/walker carry the layout
         if engine == "device" and self.view.qm is None:
             sys.stderr.write("Warning: -fill-engine device requires kmer-size <= 32; using host\n")
             engine = "host"

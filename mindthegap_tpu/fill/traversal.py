@@ -83,7 +83,9 @@ class GraphView:
     k > 32 spans, falls back to binary-search point queries on the sorted
     solid set (no python-set materialization at any k)."""
 
-    def __init__(self, graph, qmap=None):
+    def __init__(self, graph, qmap=None, layout: str = "cuckoo"):
+        """layout: "cuckoo" (2-probe QMap, default) or "bucket" (single-probe
+        QMapB — the device walker then issues one bucket gather per step)."""
         self.g = graph
         self.k = graph.k
         self._succ: dict[int, tuple] = {}
@@ -92,11 +94,19 @@ class GraphView:
         if graph.k <= 32:
             from ..ops import extmap as X
 
-            self.qm = qmap if qmap is not None else X.build_fused(
-                graph.solid.keys, graph.k, np.zeros(0, np.uint64)
-            )
+            if qmap is None:
+                if layout == "bucket":
+                    qmap = X.build_fused_bucket(
+                        graph.solid.keys, graph.k, np.zeros(0, np.uint64)
+                    )
+                else:
+                    qmap = X.build_fused(
+                        graph.solid.keys, graph.k, np.zeros(0, np.uint64)
+                    )
+            self.qm = qmap
+            self._is_bucket = isinstance(qmap, X.QMapB)
             self._slots = self.qm.slots
-            self._log_size = self.qm.log_size
+            self._log_size = self.qm.log_nb if self._is_bucket else self.qm.log_size
             self._stash = {
                 int(sk): int(sv)
                 for sk, sv in zip(self.qm.stash_keys, self.qm.stash_payload)
@@ -106,12 +116,22 @@ class GraphView:
     # -- scalar fused-map probe (python ints; exact) -----------------------
     def _payload_int(self, key: int) -> int:
         shift = 64 - self._log_size
-        rem = (1 << shift) - 1
+        rem_mask = (1 << shift) - 1
+        if self._is_bucket:
+            h = ((key ^ (key >> 33)) * _H1I) & _M64
+            h ^= h >> 29
+            rem = h & rem_mask
+            base = (h >> shift) * 16
+            for s in range(16):
+                v = int(self._slots[base + s])
+                if (v & 512) and (v >> 10) == rem:
+                    return v & 0x1FF
+            return self._stash.get(key, 0)
         for i, const in enumerate((_H1I, _H2I)):
             h = ((key ^ (key >> 33)) * const) & _M64
             h ^= h >> 29
             v = int(self._slots[h >> shift])
-            if (v & 1024) and (v >> 11) == (h & rem) and bool(v & 512) == (i == 1):
+            if (v & 1024) and (v >> 11) == (h & rem_mask) and bool(v & 512) == (i == 1):
                 return v & 0x1FF
         return self._stash.get(key, 0)
 

@@ -54,16 +54,23 @@ def _popcount4(bits):
     ).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("log_size", "k", "steps"))
-def walk_batch_device(nodes, budgets, slots, stash_k, stash_v, log_size: int, k: int, steps: int):
+@partial(jax.jit, static_argnames=("log_size", "k", "steps", "layout"))
+def walk_batch_device(nodes, budgets, slots, stash_k, stash_v, log_size: int, k: int,
+                      steps: int, layout: str = "cuckoo"):
     """Advance J simple-path walks by up to `steps` bases each.
 
     nodes:   u64[J] current k-mers (forward orientation)
     budgets: i32[J] remaining per-job base budgets
+    layout:  "cuckoo" (QMap, 2 gathers/probe) or "bucket" (QMapB, 1)
 
     Returns (bases u8[J, steps] — appended base codes, NO_BASE padding;
     n_appended i32[J]; end_nodes u64[J]; status u8[J])."""
-    qm = X.QMap(slots, log_size, stash_k, stash_v)
+    if layout == "bucket":
+        qm = X.QMapB(slots, log_size, stash_k, stash_v)
+        lookup = X.lookup_qb
+    else:
+        qm = X.QMap(slots, log_size, stash_k, stash_v)
+        lookup = X.lookup_q
     mask_k = K.kmer_mask(k)
     mask_q = K.kmer_mask(k - 1)
 
@@ -73,7 +80,7 @@ def walk_batch_device(nodes, budgets, slots, stash_k, stash_v, log_size: int, k:
         successor (both share that (k-1)-mer)."""
         q = node & mask_q
         cq = K.canonical_u64(q, k - 1, jnp)
-        pay16 = X.lookup_q(qm, cq, xp=jnp)
+        pay16 = lookup(qm, cq, xp=jnp)
         pay8 = (pay16 & jnp.uint16(0xFF)).astype(jnp.uint8)
         return X._oriented(pay8, q == cq, jnp)
 
@@ -129,10 +136,11 @@ class BatchWalker:
     over gap-fill jobs, src/Filler.cpp:824,844; SURVEY.md §2.3 row 2) with
     the fused quotient map replicated on every device."""
 
-    def __init__(self, qmap: X.QMap, k: int, min_lanes: int = 8, steps: int = 64,
+    def __init__(self, qmap, k: int, min_lanes: int = 8, steps: int = 64,
                  max_steps: int = 1024, mesh=None):
         self.k = k
-        self.log_size = qmap.log_size
+        self.layout = "bucket" if isinstance(qmap, X.QMapB) else "cuckoo"
+        self.log_size = qmap.log_nb if self.layout == "bucket" else qmap.log_size
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -162,7 +170,7 @@ class BatchWalker:
         if self.mesh is None:
             return walk_batch_device(
                 nodes, budgets, self.slots, self.stash_k, self.stash_v,
-                self.log_size, self.k, steps,
+                self.log_size, self.k, steps, self.layout,
             )
         fn = self._sharded_fns.get(steps)
         if fn is None:
@@ -170,7 +178,8 @@ class BatchWalker:
 
             axis = self._axis
             fn = jax.jit(jax.shard_map(
-                partial(walk_batch_device, log_size=self.log_size, k=self.k, steps=steps),
+                partial(walk_batch_device, log_size=self.log_size, k=self.k,
+                        steps=steps, layout=self.layout),
                 mesh=self.mesh,
                 in_specs=(P(axis), P(axis), P(), P(), P()),
                 out_specs=(P(axis, None), P(axis), P(axis), P(axis)),
@@ -201,10 +210,8 @@ class BatchWalker:
             live = (status == STATUS_RUNNING) & (remaining > 0)
             if not live.any():
                 break
-            bases, n_app, end_nodes, st = walk_batch_device(
-                jnp.asarray(nodes), jnp.asarray(np.where(live, remaining, 0)),
-                self.slots, self.stash_k, self.stash_v,
-                self.log_size, self.k, steps,
+            bases, n_app, end_nodes, st = self._call_device(
+                jnp.asarray(nodes), jnp.asarray(np.where(live, remaining, 0)), steps
             )
             bases = np.asarray(bases)
             n_app = np.asarray(n_app)

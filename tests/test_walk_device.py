@@ -142,3 +142,28 @@ def test_contig_fill_device_engine(tmp_path):
         f"{REF}/test/contig_test/gold.insertions.fasta"
     )
     assert open(f"{tmp}/contig-dev.gfa").read() == open(f"{REF}/test/contig_test/gold.gfa").read()
+
+
+@pytest.mark.slow
+def test_full_fill_device_qb_engine(tmp_path):
+    """fill -bkpt with the single-probe bucket layout (-fill-engine
+    device-qb) reproduces the gold artifacts."""
+    from test_golden import REF, run_cli, seq_lines, vcf_records
+
+    tmp = str(tmp_path)
+    run_cli(
+        ["find", "-in", f"{REF}/data/reads_r1.fastq,{REF}/data/reads_r2.fastq",
+         "-ref", f"{REF}/data/reference.fasta", "-out", f"{tmp}/qb-test", "-nb-cores", "1"],
+        tmp,
+    )
+    run_cli(
+        ["fill", "-graph", f"{tmp}/qb-test.h5", "-bkpt", f"{tmp}/qb-test.breakpoints",
+         "-out", f"{tmp}/qb-fill", "-fill-engine", "device-qb"],
+        tmp,
+    )
+    assert seq_lines(f"{tmp}/qb-fill.insertions.fasta") == seq_lines(
+        f"{REF}/test/full_test/gold.insertions.fasta"
+    )
+    assert vcf_records(f"{tmp}/qb-fill.insertions.vcf") == vcf_records(
+        f"{REF}/test/full_test/gold.insertions.vcf"
+    )
