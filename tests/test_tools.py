@@ -95,3 +95,28 @@ def test_pygatb_compat_shim(tmp_path):
     assert node.in_degree == g.indegree_int(fwd_int)
     assert node.out_degree == g.outdegree_int(fwd_int)
     assert node.in_degree >= 1 and node.out_degree >= 1
+
+
+def test_profile_flag_adds_phase_timings(tmp_path):
+    """-profile adds a Per-phase timings section to the result report;
+    default output stays byte-compatible (no such section)."""
+    import io
+
+    from mindthegap_tpu.find import runner
+
+    data = "/root/reference/data"
+    base = {
+        "in": f"{data}/reads_r1.fastq,{data}/reads_r2.fastq",
+        "ref": f"{data}/reference.fasta",
+        "scan-engine": "host",
+        "verbose": 0,
+    }
+    out1 = io.StringIO()
+    runner.run_find(dict(base, out=str(tmp_path / "p1")), out=out1)
+    assert "Per-phase timings" not in out1.getvalue()
+
+    out2 = io.StringIO()
+    runner.run_find(dict(base, out=str(tmp_path / "p2"), profile=True), out=out2)
+    text = out2.getvalue()
+    assert "Per-phase timings" in text
+    assert "graph build" in text and "scan planes" in text and "automaton replay" in text
