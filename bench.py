@@ -36,7 +36,8 @@ import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 K = 31
-GENOME_BITS = 24  # 16 Mbases synthetic genome
+GENOME_BITS = 26  # 64 Mbases synthetic genome (one device call —
+#   the tunnel's ~1 s/dispatch overhead must amortize against real work)
 COUNT_BASES = 1 << 24
 FILL_JOBS = 256
 FILL_DEPTH = 400
@@ -60,28 +61,27 @@ def _reads_from(genome, n_bases, read_len=150, seed=7):
     return [genome[s : s + read_len] for s in starts]
 
 
-def bench_scan(genome, solid, repeat, window=1 << 22):
+def bench_scan(genome, solid, repeat):
     """Times both device scan layouts — the 2-probe cuckoo quotient map (q)
-    and the single-probe 16-slot bucket map (qb) — in runner-sized windows
-    (matching find/runner.py's device path; smaller programs also keep the
-    remote compile service happy). Returns (best_rate, {engine: rate})."""
+    and the single-probe 16-slot bucket map (qb) — as ONE whole-genome
+    program each (tunnel round-trip latency makes per-window host dispatch
+    incomparable across rounds; qb's bucket gather is lax.map-chunked INSIDE
+    the program so its padded temp stays bounded). Returns
+    (best_rate, {engine: rate})."""
     import jax.numpy as jnp
 
     from mindthegap_tpu.find.scan_device import scan_planes_device_q, scan_planes_device_qb
     from mindthegap_tpu.ops import extmap as X
 
-    windows = [
-        jnp.asarray(genome[i : i + window])
-        for i in range(0, genome.size - window + 1, window)
-    ]
+    g = jnp.asarray(genome)
 
-    def time_engine(fn, args_of):
+    def time_engine(fn, args):
         # compile + warm up (forcing a transfer: async dispatch on this
         # backend does not reliably honor block_until_ready); the remote
         # compile service can fail transiently — retry the first call
         for attempt in range(4):
             try:
-                int(jnp.sum(fn(*args_of(windows[0]))["nb_in"]))
+                int(jnp.sum(fn(*args)["nb_in"]))
                 break
             except Exception:
                 if attempt == 3:
@@ -90,24 +90,23 @@ def bench_scan(genome, solid, repeat, window=1 << 22):
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
-            for w in windows:
-                int(jnp.sum(fn(*args_of(w))["nb_in"]))
+            int(jnp.sum(fn(*args)["nb_in"]))
             best = min(best, time.perf_counter() - t0)
-        return len(windows) * window / best
+        return genome.size / best
 
     rates = {}
     qm = X.build_fused(solid, K, repeat)
     rates["q"] = time_engine(
         scan_planes_device_q,
-        lambda w: (w, jnp.asarray(qm.slots), jnp.asarray(qm.stash_keys),
-                   jnp.asarray(qm.stash_payload), qm.log_size, K),
+        (g, jnp.asarray(qm.slots), jnp.asarray(qm.stash_keys),
+         jnp.asarray(qm.stash_payload), qm.log_size, K),
     )
     del qm
     qb = X.build_fused_bucket(solid, K, repeat)
     rates["qb"] = time_engine(
         scan_planes_device_qb,
-        lambda w: (w, jnp.asarray(qb.slots), jnp.asarray(qb.stash_keys),
-                   jnp.asarray(qb.stash_payload), qb.log_nb, K),
+        (g, jnp.asarray(qb.slots), jnp.asarray(qb.stash_keys),
+         jnp.asarray(qb.stash_payload), qb.log_nb, K),
     )
     return max(rates.values()), rates
 
