@@ -184,7 +184,13 @@ class ShardedStreamingCounter:
         sharding = NamedSharding(self.mesh, P(axis, None))
 
         def run(chunks: np.ndarray):
-            return jitted(jax.device_put(jnp.asarray(chunks), sharding))
+            out = jitted(jax.device_put(jnp.asarray(chunks), sharding))
+            if jax.process_count() > 1:
+                # multi-host: owner shards live on remote processes too
+                from jax.experimental import multihost_utils
+
+                return multihost_utils.process_allgather(out, tiled=True)
+            return out
 
         return run
 

@@ -54,6 +54,29 @@ def main():
     # the writer-host marker is what a production launcher keys file moves on
     with open(os.path.join(outdir, f"writer{pid}"), "w") as f:
         f.write("1" if is_writer() else "0")
+
+    # multi-host sharded counting: all_to_all key routing + psum histogram
+    # over the GLOBAL mesh must match the host counter exactly
+    import numpy as np
+
+    from mindthegap_tpu.io.bank import iter_codes
+    from mindthegap_tpu.ops.counting import StreamingCounter
+    from mindthegap_tpu.parallel.sharded_count import ShardedStreamingCounter
+
+    host = StreamingCounter(21)
+    sharded = ShardedStreamingCounter(21, mesh=mesh, batch_bases=1 << 13)
+    n = 0
+    for _h, codes in iter_codes(f"{data}/reads_r1.fastq"):
+        host.add_codes(codes)
+        sharded.add_codes(codes)
+        n += 1
+        if n >= 120:
+            break
+    hr, sr = host.result(), sharded.result()
+    assert np.array_equal(hr.kmers, sr.kmers)
+    assert np.array_equal(hr.counts, sr.counts)
+    assert np.array_equal(hr.histogram, sr.histogram)
+    print("COUNT_OK", pid)
     print("WORKER_OK", pid)
 
 

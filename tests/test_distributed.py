@@ -48,6 +48,7 @@ def test_two_process_find_parity(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"WORKER_OK {pid}" in out
+        assert f"COUNT_OK {pid}" in out
 
     # exactly one writer host, and it is process 0
     assert open(os.path.join(outdir, "writer0")).read() == "1"
