@@ -124,25 +124,41 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
             scan_fn = scan_planes_device_q
 
         window = 1 << 22
+        group = 8  # windows vmapped into one dispatch (device call overhead
+        #            is ~1 s through a remote relay; amortize it)
         halo = k - 1
+
+        import jax
+
+        @jax.jit
+        def scan_group(rows, slots, sk, sv):
+            return jax.vmap(lambda row: scan_fn(row, slots, sk, sv, log_param, k))(rows)
 
         def device_fn(codes):
             n = codes.shape[0]
             if n < k:
                 return scan.compute_planes(codes, k, graph.solid.kmers, repeat_set.kmers)
             outs = {key: [] for key in ("fwd", "valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep")}
-            pos = 0
+            step = window - halo
             npos = n - k + 1
+            takes = []
+            pos = 0
             while pos < npos:
-                take = min(window - halo, npos - pos)
-                chunk = np.full(window, 255, np.uint8)
-                chunk[: min(take + halo, n - pos)] = codes[pos : pos + take + halo]
-                res = scan_fn(
-                    jnp.asarray(chunk), d["slots"], d["sk"], d["sv"], log_param, k,
-                )
+                takes.append(min(step, npos - pos))
+                pos += step
+            nwin = len(takes)
+            for g0 in range(0, nwin, group):
+                gn = min(group, nwin - g0)
+                rows = np.full((gn, window), 255, np.uint8)
+                for j in range(gn):
+                    s = (g0 + j) * step
+                    part = codes[s : s + window]
+                    rows[j, : part.shape[0]] = part
+                res = scan_group(jnp.asarray(rows), d["slots"], d["sk"], d["sv"])
                 for key in outs:
-                    outs[key].append(np.asarray(res[key])[:take])
-                pos += take
+                    arr = np.asarray(res[key])
+                    for j in range(gn):
+                        outs[key].append(arr[j, : takes[g0 + j]])
             return Planes(
                 valid=np.concatenate(outs["valid"]),
                 fwd=np.concatenate(outs["fwd"]),
