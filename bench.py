@@ -4,13 +4,20 @@
   1. find ref-bases/s/chip   — the flagship `find` plane pass (per reference
      base: canonical membership, fwd-strand in/out degrees, two (k-1)-mer
      repeat bits; reference src/FindBreakpoints.hpp:560-622) over the fused
-     quotient map (mindthegap_tpu/ops/extmap.py, ~2 HBM gathers/base).
+     quotient map (mindthegap_tpu/ops/extmap.py). Both device layouts are
+     timed: the 2-probe cuckoo map (q) and the single-probe 16-slot bucket
+     map (qb); the headline is the faster one.
   2. graph-build kmers/s/chip — streaming canonical k-mer counting
      (the DSK equivalent, reference hot loop #1 per SURVEY.md §3): device
      extract+sort batches + host run merge (ops/counting_device.py).
   3. fill gap-fills/s        — bounded local-assembly jobs (reference
      src/Filler.cpp:854-884) through the device-batched walker
      (fill/walk_device.py run_jobs_batched).
+
+Each metric runs in its OWN subprocess with its own deadline, so a wedged
+or crashed TPU worker (observed with multi-GB tables through the remote
+relay) costs one metric, not the whole bench. Synthetic inputs are cached
+in /tmp between stages/runs.
 
 vs_baseline divides by PINNED single-core host-oracle rates measured on
 this machine (median-of-5, recorded in BASELINE.json "published" by
@@ -27,6 +34,7 @@ Prints ONE json line:
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -36,22 +44,39 @@ import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 K = 31
-GENOME_BITS = 26  # 64 Mbases synthetic genome (one device call —
-#   the tunnel's ~1 s/dispatch overhead must amortize against real work)
+GENOME_BITS = 25  # 32 Mbases; the scan runs as ONE whole-genome program —
+#   the relay's ~1 s/dispatch overhead must amortize against real work
 COUNT_BASES = 1 << 24
 FILL_JOBS = 256
 FILL_DEPTH = 400
+SYNTH_CACHE = f"/tmp/mtg_bench_synth_k{K}_b{GENOME_BITS}_v1.npz"
+
+STAGE_DEADLINE_S = {"scan-q": 540, "scan-qb": 540, "count": 420, "fill": 540}
 
 
 def _synth(seed=42):
+    """Synthetic genome + solid/repeat sets, cached on disk (the np.unique
+    over ~2^GENOME_BITS kmers costs minutes on this 2-core host)."""
     from mindthegap_tpu.ops import kmers as Kk
 
+    if os.path.exists(SYNTH_CACHE):
+        try:
+            with np.load(SYNTH_CACHE) as z:
+                return z["genome"], z["solid"], z["repeat"]
+        except Exception:
+            pass
     rng = np.random.default_rng(seed)
     genome = rng.integers(0, 4, size=1 << GENOME_BITS, dtype=np.uint8)
     fwd, _ = Kk.kmers_from_codes(genome, K)
     solid = np.unique(Kk.canonical_u64(fwd, K))
     repeat = np.unique(Kk.canonical_u64(fwd[: 1 << 19] & Kk.kmer_mask(K - 1), K - 1))
-    return genome, fwd, solid, repeat
+    tmp = SYNTH_CACHE + f".{os.getpid()}"
+    try:
+        np.savez(tmp, genome=genome, solid=solid, repeat=repeat)
+        os.replace(tmp, SYNTH_CACHE)
+    except Exception:
+        pass
+    return genome, solid, repeat
 
 
 def _reads_from(genome, n_bases, read_len=150, seed=7):
@@ -61,62 +86,47 @@ def _reads_from(genome, n_bases, read_len=150, seed=7):
     return [genome[s : s + read_len] for s in starts]
 
 
-def bench_scan(genome, solid, repeat):
-    """Times both device scan layouts — the 2-probe cuckoo quotient map (q)
-    and the single-probe 16-slot bucket map (qb) — as ONE whole-genome
-    program each (tunnel round-trip latency makes per-window host dispatch
-    incomparable across rounds; qb's bucket gather is lax.map-chunked INSIDE
-    the program so its padded temp stays bounded). Returns
-    (best_rate, {engine: rate})."""
+def _time_device_calls(call, n=3):
+    """Best-of-n wall time of a blocking device call (first call compiles)."""
+    call()
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        call()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def stage_scan(engine: str):
     import jax.numpy as jnp
 
     from mindthegap_tpu.find.scan_device import scan_planes_device_q, scan_planes_device_qb
     from mindthegap_tpu.ops import extmap as X
 
+    genome, solid, repeat = _synth()
     g = jnp.asarray(genome)
-
-    def time_engine(fn, args):
-        # compile + warm up (forcing a transfer: async dispatch on this
-        # backend does not reliably honor block_until_ready); the remote
-        # compile service can fail transiently — retry the first call
-        for attempt in range(4):
-            try:
-                int(jnp.sum(fn(*args)["nb_in"]))
-                break
-            except Exception:
-                if attempt == 3:
-                    raise
-                time.sleep(15)
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            int(jnp.sum(fn(*args)["nb_in"]))
-            best = min(best, time.perf_counter() - t0)
-        return genome.size / best
-
-    rates = {}
-    qm = X.build_fused(solid, K, repeat)
-    rates["q"] = time_engine(
-        scan_planes_device_q,
-        (g, jnp.asarray(qm.slots), jnp.asarray(qm.stash_keys),
-         jnp.asarray(qm.stash_payload), qm.log_size, K),
-    )
-    del qm
-    qb = X.build_fused_bucket(solid, K, repeat)
-    rates["qb"] = time_engine(
-        scan_planes_device_qb,
-        (g, jnp.asarray(qb.slots), jnp.asarray(qb.stash_keys),
-         jnp.asarray(qb.stash_payload), qb.log_nb, K),
-    )
-    return max(rates.values()), rates
+    if engine == "qb":
+        qb = X.build_fused_bucket(solid, K, repeat)
+        args = (g, jnp.asarray(qb.slots), jnp.asarray(qb.stash_keys),
+                jnp.asarray(qb.stash_payload), qb.log_nb, K)
+        fn = scan_planes_device_qb
+    else:
+        qm = X.build_fused(solid, K, repeat)
+        args = (g, jnp.asarray(qm.slots), jnp.asarray(qm.stash_keys),
+                jnp.asarray(qm.stash_payload), qm.log_size, K)
+        fn = scan_planes_device_q
+    # force a transfer each call: async dispatch on this backend does not
+    # reliably honor block_until_ready
+    best = _time_device_calls(lambda: int(jnp.sum(fn(*args)["nb_in"])))
+    return {"rate": genome.size / best}
 
 
-def bench_count(genome):
+def stage_count():
     from mindthegap_tpu.ops.counting_device import DeviceStreamingCounter
 
+    genome, _solid, _repeat = _synth()
     reads = _reads_from(genome, COUNT_BASES)
-    # warm-up pass compiles the sort shape
-    warm = DeviceStreamingCounter(K)
+    warm = DeviceStreamingCounter(K)  # compile the sort shapes
     for r in reads[:64]:
         warm.add_codes(r)
     warm.result()
@@ -128,12 +138,10 @@ def bench_count(genome):
     dt = time.perf_counter() - t0
     n_kmers = sum(r.size - K + 1 for r in reads)
     assert res.kmers.size > 0
-    return n_kmers / dt
+    return {"rate": n_kmers / dt}
 
 
 def _fill_seeds(genome, n_jobs, seed=3):
-    from mindthegap_tpu.ops import kmers as Kk
-
     rng = np.random.default_rng(seed)
     starts = rng.integers(0, genome.size - K, size=n_jobs)
     seeds = []
@@ -156,11 +164,12 @@ class _FakeSolid:
         self.keys = keys
 
 
-def bench_fill(genome, solid):
+def stage_fill():
     from mindthegap_tpu.fill.traversal import GraphView, Terminator, TraversalPolicy, traverse_right_co
     from mindthegap_tpu.fill.walk_device import BatchWalker, run_jobs_batched
     from mindthegap_tpu.ops import extmap as X
 
+    genome, solid, _repeat = _synth()
     qm = X.build_fused(solid, K, np.zeros(0, np.uint64))
     view = GraphView(_FakeGraph(solid), qmap=qm)
     policy = TraversalPolicy()
@@ -177,7 +186,7 @@ def bench_fill(genome, solid):
     out = run_once()
     dt = time.perf_counter() - t0
     assert len(out) == FILL_JOBS
-    return FILL_JOBS / dt
+    return {"rate": FILL_JOBS / dt}
 
 
 # ---------------------------------------------------------------------------
@@ -229,7 +238,7 @@ def oracle_fill(genome, solid, n_jobs=64):
 
 def calibrate():
     """Measure the host oracles (median of 5) and pin them in BASELINE.json."""
-    genome, _fwd, solid, repeat = _synth()
+    genome, solid, repeat = _synth()
     med = lambda f: statistics.median(f() for _ in range(5))
     pinned = {
         "host_find_scan_bases_per_s": round(med(lambda: oracle_scan(genome, solid, repeat))),
@@ -246,12 +255,48 @@ def calibrate():
     print(json.dumps(pinned))
 
 
+def run_stage(name: str):
+    if name == "scan-q":
+        out = stage_scan("q")
+    elif name == "scan-qb":
+        out = stage_scan("qb")
+    elif name == "count":
+        out = stage_count()
+    elif name == "fill":
+        out = stage_fill()
+    else:
+        raise SystemExit(f"unknown stage {name}")
+    print(json.dumps(out))
+
+
+def _spawn_stage(name: str):
+    """Run one stage in a subprocess; returns its parsed dict or None."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", name],
+            capture_output=True, text=True, timeout=STAGE_DEADLINE_S[name],
+        )
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"bench stage {name}: deadline exceeded\n")
+        return None
+    for line in reversed(proc.stdout.strip().splitlines() or []):
+        try:
+            return json.loads(line)
+        except Exception:
+            continue
+    sys.stderr.write(f"bench stage {name}: rc={proc.returncode}\n{proc.stderr[-2000:]}\n")
+    return None
+
+
 def main():
     if "--calibrate" in sys.argv:
         calibrate()
         return
+    if "--stage" in sys.argv:
+        run_stage(sys.argv[sys.argv.index("--stage") + 1])
+        return
 
-    genome, _fwd, solid, repeat = _synth()
+    _synth()  # build/refresh the shared cache once, before the stage clocks
 
     path = os.path.join(HERE, "BASELINE.json")
     published = {}
@@ -259,13 +304,23 @@ def main():
         published = json.load(open(path)).get("published", {})
     except Exception:
         pass
-    base_scan = published.get("host_find_scan_bases_per_s") or oracle_scan(genome, solid, repeat)
-    base_count = published.get("host_graph_build_kmers_per_s") or oracle_count(genome)
-    base_fill = published.get("host_fill_gapfills_per_s") or oracle_fill(genome, solid)
+    base_scan = published.get("host_find_scan_bases_per_s", 125290)
+    base_count = published.get("host_graph_build_kmers_per_s", 6461654)
+    base_fill = published.get("host_fill_gapfills_per_s", 228.06)
 
-    scan_rate, scan_engines = bench_scan(genome, solid, repeat)
-    count_rate = bench_count(genome)
-    fill_rate = bench_fill(genome, solid)
+    scan_engines = {}
+    for eng in ("qb", "q"):
+        out = _spawn_stage(f"scan-{eng}")
+        if out:
+            scan_engines[eng] = round(out["rate"])
+        if eng == "qb" and out and out["rate"] > 3e7:
+            break  # qb healthy and clearly ahead; skip the slower layout
+    count_out = _spawn_stage("count")
+    fill_out = _spawn_stage("fill")
+
+    scan_rate = max(scan_engines.values()) if scan_engines else 0
+    count_rate = count_out["rate"] if count_out else 0
+    fill_rate = fill_out["rate"] if fill_out else 0
 
     result = {
         "metric": "find_scan_bases_per_s",
@@ -273,12 +328,12 @@ def main():
         "unit": "bases/s/chip",
         "vs_baseline": round(scan_rate / base_scan, 2),
         "extra": {
-            "scan_engines": {k2: round(v) for k2, v in scan_engines.items()},
+            "scan_engines": scan_engines,
             "graph_build_kmers_per_s": round(count_rate),
             "graph_build_vs_baseline": round(count_rate / base_count, 2),
             "fill_gapfills_per_s": round(fill_rate, 1),
             "fill_vs_baseline": round(fill_rate / base_fill, 2),
-            "baseline": "pinned host oracle (BASELINE.json published)" if published else "measured this run",
+            "baseline": "pinned host oracle (BASELINE.json published)" if published else "pinned defaults",
         },
     }
     print(json.dumps(result))

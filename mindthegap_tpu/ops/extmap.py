@@ -152,6 +152,14 @@ def _load_native():
                 ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ]
+        if hasattr(lib, "qbmap_build"):
+            lib.qbmap_build.restype = ctypes.c_int64
+            lib.qbmap_build.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ]
         _NATIVE_LIB = lib
     except Exception:
         _NATIVE_FAILED = True
@@ -790,6 +798,10 @@ def build_fused_bucket(
 ) -> "QMapB":
     """Bucketized union table over canonical (k-1)-mers (payload semantics
     identical to build_fused): ext/pre bits 0-7 + repeat bit 8."""
+    if k <= 32:
+        qb = _build_fused_bucket_native(solid_canonical, k, repeat_canonical, mean_load)
+        if qb is not None:
+            return qb
     keys, vals = _fused_entries(solid_canonical, k, repeat_canonical)
     n = max(int(keys.size), 1)
     log_nb = max(10, int(np.ceil(np.log2(n / (mean_load * 1.0)))))
@@ -826,6 +838,42 @@ def build_fused_bucket(
         so = np.argsort(stash_k)
         stash_k, stash_v = stash_k[so], stash_v[so]
     return QMapB(slots, log_nb, stash_k, stash_v)
+
+
+def _build_fused_bucket_native(solid, k, repeat, mean_load):
+    """One-pass native build (native/tables.cpp qbmap_build). Returns None
+    when the native library is unavailable (numpy fallback takes over)."""
+    import ctypes
+
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "qbmap_build"):
+        return None
+    solid = np.ascontiguousarray(solid, dtype=np.uint64)
+    repeat = np.ascontiguousarray(np.unique(np.asarray(repeat, dtype=np.uint64)))
+    # each solid k-mer yields ~2 distinct (k-1)-mer keys (prefix + suffix)
+    n_est = max(2 * int(solid.size) + int(repeat.size), 4)
+    log_nb = max(10, int(np.ceil(np.log2(n_est / mean_load))))
+    for _ in range(4):
+        slots = np.zeros((1 << log_nb) * _QB_SLOTS, np.uint64)
+        stash_k = np.zeros(64, np.uint64)
+        stash_v = np.zeros(64, np.uint16)
+        n_stash = lib.qbmap_build(
+            solid.ctypes.data_as(ctypes.c_void_p), solid.size, k,
+            repeat.ctypes.data_as(ctypes.c_void_p), repeat.size, log_nb,
+            slots.ctypes.data_as(ctypes.c_void_p),
+            stash_k.ctypes.data_as(ctypes.c_void_p),
+            stash_v.ctypes.data_as(ctypes.c_void_p), 64,
+        )
+        if n_stash >= 0:
+            order = np.argsort(stash_k[:n_stash])
+            sk = stash_k[:n_stash][order]
+            sv = stash_v[:n_stash][order]
+            if sk.size == 0:
+                sk = np.array([EMPTY], np.uint64)
+                sv = np.zeros(1, np.uint16)
+            return QMapB(slots, log_nb, sk, sv)
+        log_nb += 1
+    return None
 
 
 def lookup_qb_chunked(qm: QMapB, canon_keys, chunk: int = 1 << 18):

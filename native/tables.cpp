@@ -207,6 +207,91 @@ int64_t qmap_build(const u64* solid, int64_t n, int k,
     return b.n_stash;
 }
 
+// ---------------------------------------------------------------------------
+// Bucketized single-probe map builder (ops/extmap.py build_fused_bucket):
+// same fused (k-1)-mer entry derivation as qmap_build, but placement is one
+// H1 bucket of 16 quotient slots per key — no eviction walk. Returns stash
+// size (bucket-overflow keys) or -1 if it exceeds max_stash. slots must be
+// zeroed by the caller; stash merge handles duplicate keys.
+
+namespace {
+
+struct QBBuild {
+    u64* slots;      // [nb * 16]
+    int log_nb;
+    u64* stash_k;
+    uint16_t* stash_v;
+    int64_t n_stash;
+    int64_t max_stash;
+    bool failed;
+
+    void upsert(u64 key, uint16_t bits)
+    {
+        const int shift = 64 - log_nb;
+        u64 h = mix(key, H1);
+        u64 rem = (shift == 64) ? h : (h & ((1ULL << shift) - 1));
+        u64* b = slots + ((h >> shift) << 4);
+        u64 tagged = (rem << 10) | (1ULL << 9);
+        for (int s = 0; s < 16; s++)
+        {
+            if ((b[s] >> 9) == ((tagged >> 9)))  // same rem + valid
+            {
+                b[s] |= (u64)bits;
+                return;
+            }
+            if (b[s] == 0)
+            {
+                b[s] = tagged | (u64)bits;
+                return;
+            }
+        }
+        for (int64_t i = 0; i < n_stash; i++)
+            if (stash_k[i] == key) { stash_v[i] |= bits; return; }
+        if (n_stash >= max_stash) { failed = true; return; }
+        stash_k[n_stash] = key;
+        stash_v[n_stash] = bits;
+        n_stash++;
+    }
+};
+
+}  // namespace
+
+int64_t qbmap_build(const u64* solid, int64_t n, int k,
+                    const u64* repeat_keys, int64_t r, int log_nb,
+                    u64* slots,
+                    u64* stash_keys, uint16_t* stash_vals, int64_t max_stash)
+{
+    QBBuild b = {slots, log_nb, stash_keys, stash_vals, 0, max_stash, false};
+    const int km1 = k - 1;
+    const u64 mask_km1 = (km1 == 32) ? ~0ULL : ((1ULL << (2 * km1)) - 1);
+    const int shift_first = 2 * km1;
+
+    for (int64_t i = 0; i < n && !b.failed; i++)
+    {
+        u64 orient[2] = {solid[i], revcomp_u64(solid[i], k)};
+        for (int o = 0; o < 2; o++)
+        {
+            u64 F = orient[o];
+            u64 p = (F >> 2) & mask_km1;
+            int x = (int)(F & 3);
+            u64 p_rc = revcomp_u64(p, km1);
+            bool p_canon = p <= p_rc;
+            int bit = p_canon ? x : 4 + (x ^ 2);
+            b.upsert(p_canon ? p : p_rc, (uint16_t)(1u << bit));
+            u64 s = F & mask_km1;
+            int y = (int)((F >> shift_first) & 3);
+            u64 s_rc = revcomp_u64(s, km1);
+            bool s_canon = s <= s_rc;
+            bit = s_canon ? 4 + y : (y ^ 2);
+            b.upsert(s_canon ? s : s_rc, (uint16_t)(1u << bit));
+        }
+    }
+    for (int64_t j = 0; j < r && !b.failed; j++)
+        b.upsert(repeat_keys[j], (uint16_t)(1u << 8));
+    if (b.failed) return -1;
+    return b.n_stash;
+}
+
 // Same as extmap_place but with 16-bit payloads (used by the fused
 // quotient map: 8 ext/pre bits + repeat bit).
 int64_t extmap_place16(const u64* keys, const uint16_t* values, int64_t n, int log_size,
