@@ -4,9 +4,9 @@
   1. find ref-bases/s/chip   — the flagship `find` plane pass (per reference
      base: canonical membership, fwd-strand in/out degrees, two (k-1)-mer
      repeat bits; reference src/FindBreakpoints.hpp:560-622) over the fused
-     quotient map (mindthegap_tpu/ops/extmap.py). Both device layouts are
-     timed: the 2-probe cuckoo map (q) and the single-probe 16-slot bucket
-     map (qb); the headline is the faster one.
+     quotient map (mindthegap_tpu/ops/extmap.py). Two device layouts are
+     timed — the pair-coalesced map (qp: one [1,2]-u64 row lookup per two
+     positions) and the 2-probe cuckoo map (q) — headline is the faster.
   2. graph-build kmers/s/chip — streaming canonical k-mer counting
      (the DSK equivalent, reference hot loop #1 per SURVEY.md §3): device
      extract+sort batches + host run merge (ops/counting_device.py).
@@ -51,7 +51,7 @@ FILL_JOBS = 256
 FILL_DEPTH = 400
 SYNTH_CACHE = f"/tmp/mtg_bench_synth_k{K}_b{GENOME_BITS}_v1.npz"
 
-STAGE_DEADLINE_S = {"scan-q": 540, "scan-qb": 540, "count": 420, "fill": 540}
+STAGE_DEADLINE_S = {"scan-q": 540, "scan-qb": 540, "scan-qp": 540, "count": 420, "fill": 540}
 
 
 def _synth(seed=42):
@@ -100,12 +100,21 @@ def _time_device_calls(call, n=3):
 def stage_scan(engine: str):
     import jax.numpy as jnp
 
-    from mindthegap_tpu.find.scan_device import scan_planes_device_q, scan_planes_device_qb
+    from mindthegap_tpu.find.scan_device import (
+        scan_planes_device_q,
+        scan_planes_device_qb,
+        scan_planes_device_qp,
+    )
     from mindthegap_tpu.ops import extmap as X
 
     genome, solid, repeat = _synth()
     g = jnp.asarray(genome)
-    if engine == "qb":
+    if engine == "qp":
+        qp = X.build_fused_pair(solid, K, repeat)
+        args = (g, jnp.asarray(qp.slots), jnp.asarray(qp.stash_keys),
+                jnp.asarray(qp.stash_l), jnp.asarray(qp.stash_r), qp.log_size, K)
+        fn = scan_planes_device_qp
+    elif engine == "qb":
         qb = X.build_fused_bucket(solid, K, repeat)
         args = (g, jnp.asarray(qb.slots), jnp.asarray(qb.stash_keys),
                 jnp.asarray(qb.stash_payload), qb.log_nb, K)
@@ -258,6 +267,8 @@ def calibrate():
 def run_stage(name: str):
     if name == "scan-q":
         out = stage_scan("q")
+    elif name == "scan-qp":
+        out = stage_scan("qp")
     elif name == "scan-qb":
         out = stage_scan("qb")
     elif name == "count":
@@ -309,12 +320,12 @@ def main():
     base_fill = published.get("host_fill_gapfills_per_s", 228.06)
 
     scan_engines = {}
-    for eng in ("qb", "q"):
+    for eng in ("qp", "q"):
         out = _spawn_stage(f"scan-{eng}")
         if out:
             scan_engines[eng] = round(out["rate"])
-        if eng == "qb" and out and out["rate"] > 3e7:
-            break  # qb healthy and clearly ahead; skip the slower layout
+        if eng == "qp" and out and out["rate"] > 2.5e7:
+            break  # pair engine healthy and clearly ahead; skip the 2-probe map
     count_out = _spawn_stage("count")
     fill_out = _spawn_stage("fill")
 

@@ -99,27 +99,40 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
         import jax.numpy as jnp
 
         from ..ops import extmap as X
-        from .scan_device import scan_planes_device_q, scan_planes_device_qb
+        from .scan_device import (
+            scan_planes_device_q,
+            scan_planes_device_qb,
+            scan_planes_device_qp,
+        )
         from .scan import Planes
 
-        if engine == "device-qb":
+        if engine == "device-qp":
+            # pair-coalesced map: one [1,2]-u64 row lookup per TWO positions
+            # (ops/extmap.py QMapP header math) — measured ~2x the 2-probe
+            # cuckoo map's throughput on v5e
+            qp = X.build_fused_pair(graph.solid.kmers, k, repeat_set.kmers)
+            targs = (
+                jnp.asarray(qp.slots), jnp.asarray(qp.stash_keys),
+                jnp.asarray(qp.stash_l), jnp.asarray(qp.stash_r),
+            )
+            log_param = qp.log_size
+            scan_fn = scan_planes_device_qp
+        elif engine == "device-qb":
             # single-probe 16-slot bucket map: 1 gather/position (ops/extmap.py
             # QMapB header math) vs the cuckoo map's 2
             qb = X.build_fused_bucket(graph.solid.kmers, k, repeat_set.kmers)
-            d = {
-                "slots": jnp.asarray(qb.slots),
-                "sk": jnp.asarray(qb.stash_keys),
-                "sv": jnp.asarray(qb.stash_payload),
-            }
+            targs = (
+                jnp.asarray(qb.slots), jnp.asarray(qb.stash_keys),
+                jnp.asarray(qb.stash_payload),
+            )
             log_param = qb.log_nb
             scan_fn = scan_planes_device_qb
         else:
             qm = X.build_fused(graph.solid.kmers, k, repeat_set.kmers)
-            d = {
-                "slots": jnp.asarray(qm.slots),
-                "sk": jnp.asarray(qm.stash_keys),
-                "sv": jnp.asarray(qm.stash_payload),
-            }
+            targs = (
+                jnp.asarray(qm.slots), jnp.asarray(qm.stash_keys),
+                jnp.asarray(qm.stash_payload),
+            )
             log_param = qm.log_size
             scan_fn = scan_planes_device_q
 
@@ -131,8 +144,8 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
         import jax
 
         @jax.jit
-        def scan_group(rows, slots, sk, sv):
-            return jax.vmap(lambda row: scan_fn(row, slots, sk, sv, log_param, k))(rows)
+        def scan_group(rows, *tables):
+            return jax.vmap(lambda row: scan_fn(row, *tables, log_param, k))(rows)
 
         def device_fn(codes):
             n = codes.shape[0]
@@ -154,7 +167,7 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
                     s = (g0 + j) * step
                     part = codes[s : s + window]
                     rows[j, : part.shape[0]] = part
-                res = scan_group(jnp.asarray(rows), d["slots"], d["sk"], d["sv"])
+                res = scan_group(jnp.asarray(rows), *targs)
                 for key in outs:
                     arr = np.asarray(res[key])
                     for j in range(gn):

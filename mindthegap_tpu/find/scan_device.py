@@ -329,3 +329,57 @@ def compute_planes_device(codes: np.ndarray, k: int, solid_sorted, repeat_sorted
         suffix_rep=np.concatenate(outs["suffix_rep"]),
         prefix_rep=np.concatenate(outs["prefix_rep"]),
     )
+
+
+@partial(jax.jit, static_argnames=("log_size", "k"))
+def scan_planes_device_qp(codes, slots2, stash_k, stash_l, stash_r, log_size: int, k: int):
+    """Plane pass over the pair-coalesced quotient map (ops/extmap.py QMapP):
+    ONE [1,2]-u64 row lookup per TWO positions — measured cheaper per row
+    than a single u64 gather on v5e, so ~half the q engine's probe cost.
+    One lookup at the shared (k-2)-mer of q_i, q_{i+1} yields both fused
+    payloads, already oriented as-read (see QMapP header math)."""
+    from ..ops import extmap as X
+
+    qp = X.QMapP(slots2, log_size, k, stash_k, stash_l, stash_r)
+
+    fwd, valid = rolling_kmers_device(codes, k)
+    p = fwd.shape[0]
+    n_pay = p + 1
+    n_pairs = (n_pay + 1) // 2
+
+    c = jnp.where(codes == INVALID, 0, codes).astype(jnp.uint64)
+    full, _fv = rolling_kmers_device(jnp.where(codes == INVALID, 0, codes).astype(jnp.uint8), k - 2)
+
+    m = jnp.arange(n_pairs)
+    ridx = jnp.minimum(1 + 2 * m, full.shape[0] - 1)
+    r_asread = full[ridx]
+    canon_r = K.canonical_u64(r_asread, k - 2, jnp)
+    strand = r_asread == canon_r
+    l36, r36 = X.lookup_qp(qp, canon_r, xp=jnp)
+
+    y = c[jnp.minimum(2 * m, codes.shape[0] - 1)]
+    x = c[jnp.minimum(2 * m + k - 1, codes.shape[0] - 1)]
+    sub = lambda blk, i4: (blk >> (jnp.uint64(9) * i4)) & jnp.uint64(0x1FF)
+    pay_even = jnp.where(strand, sub(l36, y), X._flip9(sub(r36, y ^ jnp.uint64(2)), jnp))
+    pay_odd = jnp.where(strand, sub(r36, x), X._flip9(sub(l36, x ^ jnp.uint64(2)), jnp))
+    pay = jnp.stack([pay_even, pay_odd], axis=1).reshape(-1)[:n_pay].astype(jnp.uint16)
+
+    # payloads are pre-oriented: planes drop the strand select
+    ext_i = (pay[:p] & jnp.uint16(0xF)).astype(jnp.uint8)
+    pre_i = ((pay[:p] >> jnp.uint16(4)) & jnp.uint16(0xF)).astype(jnp.uint8)
+    ext_i1 = (pay[1:] & jnp.uint16(0xF)).astype(jnp.uint8)
+
+    last_base = jnp.where(codes[k - 1 :] == INVALID, 0, codes[k - 1 :]).astype(jnp.uint8)
+    contains = ((ext_i >> last_base) & 1).astype(bool)
+    nb_out = jnp.where(contains, X._popcount4(ext_i1, jnp), 0).astype(jnp.int32)
+    nb_in = jnp.where(contains, X._popcount4(pre_i, jnp), 0).astype(jnp.int32)
+
+    return {
+        "fwd": fwd,
+        "valid": valid,
+        "contains": contains,
+        "nb_in": nb_in,
+        "nb_out": nb_out,
+        "suffix_rep": ((pay[1:] >> jnp.uint16(8)) & 1).astype(bool),
+        "prefix_rep": ((pay[:p] >> jnp.uint16(8)) & 1).astype(bool),
+    }

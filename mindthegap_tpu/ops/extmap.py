@@ -160,6 +160,16 @@ def _load_native():
                 ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ]
+        if hasattr(lib, "qpmap_build"):
+            lib.qpmap_build.restype = ctypes.c_int64
+            lib.qpmap_build.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ]
         _NATIVE_LIB = lib
     except Exception:
         _NATIVE_FAILED = True
@@ -850,8 +860,11 @@ def _build_fused_bucket_native(solid, k, repeat, mean_load):
         return None
     solid = np.ascontiguousarray(solid, dtype=np.uint64)
     repeat = np.ascontiguousarray(np.unique(np.asarray(repeat, dtype=np.uint64)))
-    # each solid k-mer yields ~2 distinct (k-1)-mer keys (prefix + suffix)
-    n_est = max(2 * int(solid.size) + int(repeat.size), 4)
+    # distinct (k-1)-mer keys ~= |solid| when the solid set comes from
+    # sliding windows (each prefix is the previous kmer's suffix); start
+    # there — a failed placement (stash overflow) retries with a doubled
+    # table, covering pathological sets approaching 2|solid| keys
+    n_est = max(int(solid.size) + int(repeat.size), 4)
     log_nb = max(10, int(np.ceil(np.log2(n_est / mean_load))))
     for _ in range(4):
         slots = np.zeros((1 << log_nb) * _QB_SLOTS, np.uint64)
@@ -895,23 +908,38 @@ def lookup_qb_chunked(qm: QMapB, canon_keys, chunk: int = 1 << 18):
     return out.reshape(-1)[:p]
 
 
-def lookup_qb(qm: QMapB, canon_keys, xp=np):
+def lookup_qb(qm: QMapB, canon_keys, xp=np, rowgather: bool = False):
     """Fused payload lookup: ONE 16-slot bucket gather (+ tiny stash pass).
-    Returns u16 payload (0 for absent keys)."""
+    Returns u16 payload (0 for absent keys).
+
+    rowgather=True gathers [1,16] rows from a [NB,16] view (collapsed-dim
+    GatherOp) instead of 16-wide slices of the flat array — an alternative
+    lowering for backends where the flat slice-gather faults at multi-GB
+    table sizes (observed on the remote TPU relay)."""
     keys = xp.asarray(canon_keys, dtype=xp.uint64)
     shift = np.uint64(64 - qm.log_nb)
     rem_mask = (np.uint64(1) << shift) - np.uint64(1)
     h = (keys ^ (keys >> np.uint64(33))) * _H1
     h = h ^ (h >> np.uint64(29))
     rem = h & rem_mask
-    start = ((h >> shift) * np.uint64(_QB_SLOTS)).astype(
-        xp.int64 if xp is not np else np.int64
-    )
     if xp is np:
+        start = ((h >> shift) * np.uint64(_QB_SLOTS)).astype(np.int64)
         rows = qm.slots[start[:, None] + np.arange(_QB_SLOTS)]
+    elif rowgather:
+        import jax
+
+        bucket = (h >> shift).astype(xp.int32)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+        )
+        rows = jax.lax.gather(
+            qm.slots.reshape(-1, _QB_SLOTS), bucket[:, None], dn,
+            slice_sizes=(1, _QB_SLOTS),
+        )
     else:
         import jax
 
+        start = ((h >> shift) * np.uint64(_QB_SLOTS)).astype(xp.int64)
         dn = jax.lax.GatherDimensionNumbers(
             offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
         )
@@ -929,3 +957,283 @@ def lookup_qb(qm: QMapB, canon_keys, xp=np):
         ).astype(xp.uint16)
         out = out | add
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pair-coalesced quotient map ("QMapP") — ONE [1,2]-u64 row gather per TWO
+# reference positions.
+#
+# Measured on the attached v5 lite chip (scripts/bench_scan_parts.py):
+# a random [1,2]-u64 row gather (16 B) is CHEAPER than a single u64 gather
+# (40.2M rows/s vs 32.6M gathers/s at 512 MB table scale) — rows amortize
+# the per-index issue cost. The QMap spends 2 u64 gathers per position
+# (16.8 Mbases/s end to end); coalescing two positions into one row lookup
+# puts the same plane pass at ~1 row gather per position.
+#
+# Key idea: consecutive (k-1)-mers q_i = ref[i:i+k-1] and q_{i+1} share the
+# (k-2)-mer r = q_i[1:] = q_{i+1}[:-1]. Index the table by *canonical
+# (k-2)-mers*; the 128-bit slot stores the 9-bit fused payloads (ext/pre
+# bitmaps + repeat bit, same semantics as QMap) of ALL EIGHT (k-1)-mers
+# containing r̂:
+#
+#     L[y] = payload of (y + r̂), oriented as-read, y = 0..3   (36 bits)
+#     R[x] = payload of (r̂ + x), oriented as-read, x = 0..3   (36 bits)
+#
+# One lookup at canon(r_i) (i even) + the two flanking bases yields the
+# payloads of q_i and q_{i+1} exactly:
+#
+#     strand (r == r̂):   pay(q_i) = L[codes[i]]        pay(q_{i+1}) = R[x]
+#     rc     (r == rc̄):   pay(q_i) = FLIP(R[y^2])       pay(q_{i+1}) = FLIP(L[x^2])
+#
+# where x = codes[i+k-1], FLIP is the 9-bit rc payload transform
+# (ext'=shuffle02(pre), pre'=shuffle02(ext), rep unchanged), and a missing
+# bucket is correct-by-construction: q_i having any payload implies r is a
+# suffix of a table (k-1)-mer, hence bucket(r) exists.
+#
+# Slot encoding (2 u64 lanes, 2-choice quotient cuckoo, log_size >= 19):
+#   lane0: [0:8) L bits 28..35 | [8] hash-choice | [9] valid | [10:55) rem45
+#   lane1: [0:36) R | [36:64) L bits 0..27
+"""Reference semantics covered: identical to QMap (src/FindBreakpoints.hpp:
+560-622 membership/degrees + :1012-1046 repeat queries), at half the probes."""
+
+_QP_REM_BITS = 45
+_QP_REM_MASK = np.uint64((1 << _QP_REM_BITS) - 1)
+_QP_CHOICE = np.uint64(1 << 8)
+_QP_VALID = np.uint64(1 << 9)
+_QP_L36 = np.uint64((1 << 36) - 1)
+
+
+@dataclass
+class QMapP:
+    slots: np.ndarray  # u64 [2**log_size, 2]; all-zero row = empty
+    log_size: int
+    k: int
+    stash_keys: np.ndarray  # u64 [>=1] sorted (EMPTY-padded)
+    stash_l: np.ndarray  # u64 L36 per stash key
+    stash_r: np.ndarray  # u64 R36 per stash key
+
+    @property
+    def nbytes(self):
+        return self.slots.nbytes
+
+
+def _flip9(p, xp=np):
+    """rc transform of a 9-bit fused payload (as-read -> other strand)."""
+    ext = p & 0xF
+    pre = (p >> 4) & 0xF
+    return (
+        _shuffle02(pre, xp)
+        | (_shuffle02(ext, xp) << 4)
+        | (p & 0x100)
+    )
+
+
+def build_fused_pair(
+    solid_canonical: np.ndarray,
+    k: int,
+    repeat_canonical: np.ndarray,
+    load_factor: float = 0.35,
+) -> "QMapP":
+    """Build the pair-coalesced map from the same inputs as build_fused."""
+    assert 3 <= k <= 32
+    qp = _build_fused_pair_native(solid_canonical, k, repeat_canonical, load_factor)
+    if qp is not None:
+        return qp
+    keys1, vals1 = _fused_entries(solid_canonical, k, repeat_canonical)
+    km1, km2 = k - 1, k - 2
+    mask2 = K.kmer_mask(km2)
+
+    # bucket keys: canonical (k-2)-mers occurring as prefix or suffix of any
+    # (k-1)-mer key (either orientation)
+    both = np.concatenate([keys1, K.revcomp_u64(keys1, km1)])
+    r = np.unique(
+        K.canonical_u64(
+            np.concatenate([(both >> np.uint64(2)) & mask2, both & mask2]), km2
+        )
+    )
+
+    def fetch(s_asread):
+        """9-bit payload of (k-1)-mer string s, oriented as-read."""
+        c = K.canonical_u64(s_asread, km1)
+        if keys1.size == 0:
+            return np.zeros(s_asread.shape, np.uint64)
+        idx = np.minimum(np.searchsorted(keys1, c), keys1.size - 1)
+        p = np.where(keys1[idx] == c, vals1[idx], 0).astype(np.uint16)
+        ext, pre = _oriented((p & 0xFF).astype(np.uint8), s_asread == c, np)
+        rep = (p >> 8) & 1
+        return (
+            ext.astype(np.uint64)
+            | (pre.astype(np.uint64) << np.uint64(4))
+            | (rep.astype(np.uint64) << np.uint64(8))
+        )
+
+    shift_first = np.uint64(2 * km2)
+    L = np.zeros(r.shape, np.uint64)
+    R = np.zeros(r.shape, np.uint64)
+    for b in range(4):
+        L |= fetch((np.uint64(b) << shift_first) | r) << np.uint64(9 * b)
+        R |= fetch((r << np.uint64(2)) | np.uint64(b)) << np.uint64(9 * b)
+
+    # place keys (payload-free native cuckoo), then recover row indices by
+    # binary search over the sorted unique key set
+    em = _place(r, np.zeros(r.size, np.uint8), load_factor, min_log=19)
+    if em.log_size < 19:
+        em = _place(r, np.zeros(r.size, np.uint8), load_factor, min_log=19)
+    S = 1 << em.log_size
+    slots = np.zeros((S, 2), np.uint64)
+    occ = em.keys != EMPTY
+    okeys = em.keys[occ]
+    ridx = np.searchsorted(r, okeys)
+    Lv, Rv = L[ridx], R[ridx]
+
+    # recover hash choice + rem per occupied slot (as _quotient_encode)
+    shift = np.uint64(64 - em.log_size)
+    sidx = np.nonzero(occ)[0].astype(np.uint64)
+    h1 = _mix(okeys, _H1)
+    h2 = _mix(okeys, _H2)
+    use1 = (h1 >> shift) == sidx
+    if not (use1 | ((h2 >> shift) == sidx)).all():
+        raise AssertionError("pair map: slot not reachable by either hash")
+    h = np.where(use1, h1, h2)
+    rem = h & ((np.uint64(1) << shift) - np.uint64(1))
+    lane0 = (
+        (Lv >> np.uint64(28))
+        | np.where(use1, np.uint64(0), _QP_CHOICE)
+        | _QP_VALID
+        | (rem << np.uint64(10))
+    )
+    lane1 = Rv | ((Lv & np.uint64((1 << 28) - 1)) << np.uint64(36))
+    slots[occ, 0] = lane0
+    slots[occ, 1] = lane1
+
+    sk = em.stash_keys
+    if sk.size:
+        sidx2 = np.searchsorted(r, sk)
+        sl, sr = L[sidx2], R[sidx2]
+        order = np.argsort(sk)
+        sk, sl, sr = sk[order], sl[order], sr[order]
+    else:
+        sk = np.array([EMPTY], np.uint64)
+        sl = np.zeros(1, np.uint64)
+        sr = np.zeros(1, np.uint64)
+    return QMapP(slots, em.log_size, k, sk, sl, sr)
+
+
+def _build_fused_pair_native(solid, k, repeat, load_factor):
+    """One-pass native build (native/tables.cpp qpmap_build). Returns None
+    when the native library is unavailable (numpy fallback takes over)."""
+    import ctypes
+
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "qpmap_build"):
+        return None
+    solid = np.ascontiguousarray(solid, dtype=np.uint64)
+    repeat = np.ascontiguousarray(np.unique(np.asarray(repeat, dtype=np.uint64)))
+    n_est = max(int(solid.size) + int(repeat.size), 4)
+    log1 = max(12, int(np.ceil(np.log2(n_est / load_factor))))
+    log2s = max(19, int(np.ceil(np.log2(n_est / load_factor))))
+    for _ in range(5):
+        t1_keys = np.full(1 << log1, EMPTY, np.uint64)
+        t1_vals = np.zeros(1 << log1, np.uint16)
+        t1_choice = np.zeros(1 << log1, np.uint8)
+        t2_keys = np.full(1 << log2s, EMPTY, np.uint64)
+        t2_choice = np.zeros(1 << log2s, np.uint8)
+        slots2 = np.zeros((1 << log2s, 2), np.uint64)
+        stash_k = np.zeros(64, np.uint64)
+        stash_l = np.zeros(64, np.uint64)
+        stash_r = np.zeros(64, np.uint64)
+        rc = lib.qpmap_build(
+            solid.ctypes.data_as(ctypes.c_void_p), solid.size, k,
+            repeat.ctypes.data_as(ctypes.c_void_p), repeat.size, log1, log2s,
+            t1_keys.ctypes.data_as(ctypes.c_void_p),
+            t1_vals.ctypes.data_as(ctypes.c_void_p),
+            t1_choice.ctypes.data_as(ctypes.c_void_p),
+            t2_keys.ctypes.data_as(ctypes.c_void_p),
+            t2_choice.ctypes.data_as(ctypes.c_void_p),
+            slots2.ctypes.data_as(ctypes.c_void_p),
+            stash_k.ctypes.data_as(ctypes.c_void_p),
+            stash_l.ctypes.data_as(ctypes.c_void_p),
+            stash_r.ctypes.data_as(ctypes.c_void_p), 64,
+        )
+        if rc >= 0:
+            n_stash = int(rc)
+            order = np.argsort(stash_k[:n_stash])
+            sk = stash_k[:n_stash][order]
+            sl = stash_l[:n_stash][order]
+            sr = stash_r[:n_stash][order]
+            if sk.size == 0:
+                sk = np.array([EMPTY], np.uint64)
+                sl = np.zeros(1, np.uint64)
+                sr = np.zeros(1, np.uint64)
+            return QMapP(slots2, log2s, k, sk, sl, sr)
+        if rc == -1:
+            log1 += 1
+        else:
+            log2s += 1
+    return None
+
+
+def lookup_qp(qp: QMapP, canon_keys, xp=np):
+    """Pair lookup: 2 [1,2]-row gathers (+ tiny stash pass). Returns
+    (L36, R36) u64 arrays (0 for absent buckets)."""
+    keys = xp.asarray(canon_keys, dtype=xp.uint64)
+    shift = np.uint64(64 - qp.log_size)
+    rem_mask = (np.uint64(1) << shift) - np.uint64(1)
+    l36 = xp.zeros(keys.shape, xp.uint64)
+    r36 = xp.zeros(keys.shape, xp.uint64)
+    for i, const in enumerate((_H1, _H2)):
+        h = (keys ^ (keys >> np.uint64(33))) * const
+        h = h ^ (h >> np.uint64(29))
+        slot = (h >> shift).astype(xp.int32)
+        rows = qp.slots[slot]  # [N, 2] row gather
+        lane0 = rows[..., 0]
+        lane1 = rows[..., 1]
+        hit = (
+            (((lane0 >> np.uint64(10)) & _QP_REM_MASK) == (h & rem_mask))
+            & ((lane0 & _QP_VALID) != 0)
+            & (((lane0 & _QP_CHOICE) != 0) == (i == 1))
+        )
+        lv = ((lane0 & np.uint64(0xFF)) << np.uint64(28)) | (lane1 >> np.uint64(36))
+        rv = lane1 & _QP_L36
+        l36 = xp.where(hit, lv, l36)
+        r36 = xp.where(hit, rv, r36)
+    if int(qp.stash_keys.shape[0]):
+        eq = keys[:, None] == qp.stash_keys[None, :]
+        l36 = l36 | xp.sum(
+            xp.where(eq, qp.stash_l[None, :], xp.zeros((), xp.uint64)), axis=-1
+        )
+        r36 = r36 | xp.sum(
+            xp.where(eq, qp.stash_r[None, :], xp.zeros((), xp.uint64)), axis=-1
+        )
+    return l36, r36
+
+
+def pair_payload_stream(qp: QMapP, codes, n_pay: int, xp=np):
+    """The per-position fused payload stream pay[j] (9-bit, oriented as-read)
+    for the (k-1)-mers q_0..q_{n_pay-1} of `codes`, via one pair lookup per
+    two positions. Host (numpy) reference implementation; the device version
+    lives in find/scan_device.py scan_planes_device_qp."""
+    k = qp.k
+    km2 = k - 2
+    w = codes.shape[0]
+    n_pairs = (n_pay + 1) // 2
+    c = np.where(codes == 255, 0, codes).astype(np.uint64)
+    from . import kmers as _K
+
+    # r_m = (k-2)-mer at position 2m+1 (the shared core of q_{2m}, q_{2m+1})
+    full, _valid = _K.kmers_from_codes(np.where(codes == 255, 0, codes).astype(np.uint8), km2)
+    ridx = 1 + 2 * np.arange(n_pairs)
+    ridx = np.minimum(ridx, full.shape[0] - 1)
+    r_asread = full[ridx]
+    canon_r = _K.canonical_u64(r_asread, km2)
+    strand = r_asread == canon_r
+    L36, R36 = lookup_qp(qp, canon_r, xp=np)
+    y = c[np.minimum(2 * np.arange(n_pairs), w - 1)]
+    x = c[np.minimum(2 * np.arange(n_pairs) + k - 1, w - 1)]
+    sub = lambda blk, i4: (blk >> (np.uint64(9) * i4)) & np.uint64(0x1FF)
+    pay_even = np.where(strand, sub(L36, y), _flip9(sub(R36, y ^ np.uint64(2)), np))
+    pay_odd = np.where(strand, sub(R36, x), _flip9(sub(L36, x ^ np.uint64(2)), np))
+    pay = np.empty(2 * n_pairs, np.uint64)
+    pay[0::2] = pay_even
+    pay[1::2] = pay_odd
+    return pay[:n_pay].astype(np.uint16)

@@ -94,17 +94,29 @@ def main():
     def f_full(codes, slots, sk, sv):
         return int(jnp.sum(scan_planes_device_q(codes, slots, sk, sv, qm.log_size, k)["nb_in"]))
 
-    # force readbacks: int() of each
-    results = {}
-    results["gather8"] = timed(lambda *a: int(f_gather8(*a)), slots_d, idx_d)
-    results["gather16"] = timed(lambda *a: int(f_gather16(*a)), slots2_d, idx2_d)
-    results["hash"] = timed(lambda *a: int(f_hash(*a)), keys_d)
-    results["rolling"] = timed(lambda *a: int(f_rolling(*a, kk=k)), codes_d)
-    results["lookup"] = timed(lambda *a: int(f_lookup(*a)), keys_d, slots_d, sk_d, sv_d)
-    results["full"] = timed(lambda *a: f_full(*a), codes_d, slots_d, sk_d, sv_d)
-
-    for name, t in results.items():
+    # force readbacks: int() of each; print as each completes
+    def report(name, fn, *a):
+        t = timed(fn, *a)
         print(f"{name:9s} {t*1e3:8.2f} ms  {n/t/1e6:9.1f} M/s", flush=True)
+
+    report("gather8", lambda *a: int(f_gather8(*a)), slots_d, idx_d)
+    report("gather16", lambda *a: int(f_gather16(*a)), slots2_d, idx2_d)
+
+    # row-width sweep: [1,W] u64 rows from a [S/W, W] table view — where is
+    # the knee between per-row amortization and per-byte cost?
+    for w in (4, 8, 16, 32):
+        slots_w = jnp.asarray(qm.slots.reshape(-1, w))
+        idx_w = jnp.asarray(idx % (qm.slots.size // w))
+
+        @jax.jit
+        def f_row(tab, ix):
+            return jnp.sum(tab[ix])
+
+        report(f"row{w*8}B", lambda *a: int(f_row(*a)), slots_w, idx_w)
+    report("hash", lambda *a: int(f_hash(*a)), keys_d)
+    report("rolling", lambda *a: int(f_rolling(*a, kk=k)), codes_d)
+    report("lookup", lambda *a: int(f_lookup(*a)), keys_d, slots_d, sk_d, sv_d)
+    report("full", lambda *a: f_full(*a), codes_d, slots_d, sk_d, sv_d)
 
 
 if __name__ == "__main__":

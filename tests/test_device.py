@@ -197,3 +197,65 @@ def test_sharded_membership_exact():
 
     empty = ShardedMembership(M.make_mesh(8), np.zeros(0, np.uint64))
     assert not empty.contains(q[:128]).any()
+
+
+def test_device_qp_scan_end_to_end_identical(tmp_path):
+    """The pair-coalesced scan engine (-scan-engine device-qp, one [1,2]-row
+    lookup per two positions) must produce byte-identical artifacts to the
+    host engine."""
+    from mindthegap_tpu.find import runner
+
+    data = "/root/reference/data"
+    outs = {}
+    for eng in ("host", "device-qp"):
+        prefix = str(tmp_path / f"qp_{eng}")
+        opts = {
+            "in": f"{data}/reads_r1.fastq,{data}/reads_r2.fastq",
+            "ref": f"{data}/reference.fasta",
+            "out": prefix,
+            "scan-engine": eng,
+            "automaton": "host",
+            "verbose": 0,
+        }
+        import io
+
+        runner.run_find(opts, out=io.StringIO())
+        outs[eng] = (
+            open(prefix + ".breakpoints").read(),
+            [l for l in open(prefix + ".othervariants.vcf") if not l.startswith("##")],
+        )
+    assert outs["host"][0] == outs["device-qp"][0]
+    assert outs["host"][1] == outs["device-qp"][1]
+
+
+def test_pair_payload_stream_matches_q():
+    """QMapP numpy reference: the pair payload stream equals the oriented
+    q-engine payload stream position by position (incl. an N in the window)."""
+    from mindthegap_tpu.ops import extmap as X
+    from mindthegap_tpu.ops import kmers as K
+
+    rng = np.random.default_rng(11)
+    k = 21
+    genome = rng.integers(0, 4, size=60000, dtype=np.uint8)
+    fwd, _ = K.kmers_from_codes(genome, k)
+    solid = np.unique(K.canonical_u64(fwd, k))[:40000]
+    repeat = np.unique(K.canonical_u64(fwd[:2000] & K.kmer_mask(k - 1), k - 1))
+    qm = X.build_fused(solid, k, repeat)
+    qp = X.build_fused_pair(solid, k, repeat)
+
+    codes = genome[:20000].copy()
+    codes[777] = 255
+    p = codes.shape[0] - k + 1
+    n_pay = p + 1
+    q, _v = K.kmers_from_codes(np.where(codes == 255, 0, codes).astype(np.uint8), k - 1)
+    q = q[:n_pay]
+    canon_q = K.canonical_u64(q, k - 1)
+    strand = q == canon_q
+    pay16 = X.lookup_q(qm, canon_q, xp=np)
+    ext, pre = X._oriented((pay16 & 0xFF).astype(np.uint8), strand, np)
+    rep = (pay16 >> 8) & 1
+    oracle = (
+        ext.astype(np.uint16) | (pre.astype(np.uint16) << 4) | (rep.astype(np.uint16) << 8)
+    )
+    pair = X.pair_payload_stream(qp, codes, n_pay)
+    assert (pair == oracle).all()
