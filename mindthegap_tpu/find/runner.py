@@ -106,6 +106,11 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
         )
         from .scan import Planes
 
+        if engine == "auto":
+            # auto resolves to the fastest measured layout: the pair-
+            # coalesced map (29.4 vs 16.8 Mbases/s on v5e for the 2-probe
+            # cuckoo at 1 GB table scale)
+            engine = "device-qp"
         if engine == "device-qp":
             # pair-coalesced map: one [1,2]-u64 row lookup per TWO positions
             # (ops/extmap.py QMapP header math) — measured ~2x the 2-probe

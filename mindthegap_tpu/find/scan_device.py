@@ -347,18 +347,36 @@ def scan_planes_device_qp(codes, slots2, stash_k, stash_l, stash_r, log_size: in
     n_pay = p + 1
     n_pairs = (n_pay + 1) // 2
 
-    c = jnp.where(codes == INVALID, 0, codes).astype(jnp.uint64)
-    full, _fv = rolling_kmers_device(jnp.where(codes == INVALID, 0, codes).astype(jnp.uint8), k - 2)
+    # Even/odd base columns: the ONLY strided reads, and on the 1-byte
+    # array (stride-2 relayout of u64 streams costs ~150 ms per 8M
+    # elements on v5e; slicing the u8 codes first moves 8x less data).
+    # Everything downstream is contiguous dynamic slices.
+    clean = jnp.where(codes == INVALID, 0, codes).astype(jnp.uint8)
+    n2 = n_pairs + (k + 1) // 2 + 1
+    clean_p = jnp.concatenate(
+        [clean, jnp.zeros(2 * n2 - clean.shape[0], jnp.uint8)]
+    )
+    col0 = clean_p[0::2].astype(jnp.uint64)  # bases at even positions
+    col1 = clean_p[1::2].astype(jnp.uint64)  # bases at odd positions
 
-    m = jnp.arange(n_pairs)
-    ridx = jnp.minimum(1 + 2 * m, full.shape[0] - 1)
-    r_asread = full[ridx]
+    # r_m = (k-2)-mer at position 2m+1, assembled from contiguous column
+    # slices (base 2m+1+j lives in col_{(1+j)%2}[m + (1+j)//2])
+    r_asread = jnp.zeros((n_pairs,), jnp.uint64)
+    for j in range(k - 2):
+        par = (1 + j) & 1
+        off = (1 + j) >> 1
+        col = col1 if par else col0
+        r_asread = (r_asread << jnp.uint64(2)) | jax.lax.dynamic_slice(col, (off,), (n_pairs,))
     canon_r = K.canonical_u64(r_asread, k - 2, jnp)
     strand = r_asread == canon_r
     l36, r36 = X.lookup_qp(qp, canon_r, xp=jnp)
 
-    y = c[jnp.minimum(2 * m, codes.shape[0] - 1)]
-    x = c[jnp.minimum(2 * m + k - 1, codes.shape[0] - 1)]
+    y = jax.lax.dynamic_slice(col0, (0,), (n_pairs,))
+    # base 2m + (k-1): even when k is odd -> col0, else col1
+    if (k - 1) % 2 == 0:
+        x = jax.lax.dynamic_slice(col0, ((k - 1) // 2,), (n_pairs,))
+    else:
+        x = jax.lax.dynamic_slice(col1, ((k - 2) // 2,), (n_pairs,))
     sub = lambda blk, i4: (blk >> (jnp.uint64(9) * i4)) & jnp.uint64(0x1FF)
     pay_even = jnp.where(strand, sub(l36, y), X._flip9(sub(r36, y ^ jnp.uint64(2)), jnp))
     pay_odd = jnp.where(strand, sub(r36, x), X._flip9(sub(l36, x ^ jnp.uint64(2)), jnp))
