@@ -206,7 +206,13 @@ def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 <
         from ..parallel import mesh as M
         from .scan import Planes
 
-        qm = X.build_fused(graph.solid.kmers, k, repeat_set.kmers)
+        # pair-coalesced map (half the probes of the 2-probe cuckoo;
+        # k <= 32 only — larger spans keep the q layout)
+        use_qp = k <= 32
+        if use_qp:
+            qm = X.build_fused_pair(graph.solid.kmers, k, repeat_set.kmers)
+        else:
+            qm = X.build_fused(graph.solid.kmers, k, repeat_set.kmers)
         mesh = M.make_mesh()
         n_dev = mesh.devices.size
         halo = k - 1
@@ -224,7 +230,10 @@ def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 <
                 s = i * step
                 part = codes[s : s + window]
                 wins[i, : part.shape[0]] = part
-            planes = M.sharded_scan_q(mesh, wins, qm, k)
+            if use_qp:
+                planes = M.sharded_scan_qp(mesh, wins, qm, k)
+            else:
+                planes = M.sharded_scan_q(mesh, wins, qm, k)
             outs = {}
             for key in ("fwd", "valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep"):
                 parts = []

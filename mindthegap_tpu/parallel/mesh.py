@@ -84,6 +84,36 @@ def sharded_scan_q(mesh: Mesh, windows: np.ndarray, qmap, k: int):
     return jax.tree.map(np.asarray, out)
 
 
+def sharded_scan_qp(mesh: Mesh, windows: np.ndarray, qp, k: int):
+    """Window-sharded find scan over the pair-coalesced map (ops/extmap.py
+    QMapP, one [1,2]-row lookup per two positions): windows sharded on the
+    mesh axis, the map replicated on every device."""
+    from ..find.scan_device import scan_planes_device_qp
+
+    axis = mesh.axis_names[0]
+    win_sharding = NamedSharding(mesh, P(axis, None))
+    rep_sharding = NamedSharding(mesh, P())
+
+    windows_d = jax.device_put(jnp.asarray(windows), win_sharding)
+    slots_d = jax.device_put(jnp.asarray(qp.slots), rep_sharding)
+    sk_d = jax.device_put(jnp.asarray(qp.stash_keys), rep_sharding)
+    sl_d = jax.device_put(jnp.asarray(qp.stash_l), rep_sharding)
+    sr_d = jax.device_put(jnp.asarray(qp.stash_r), rep_sharding)
+
+    @jax.jit
+    def run(w, slots, sk, sl, sr):
+        return jax.vmap(
+            lambda row: scan_planes_device_qp(row, slots, sk, sl, sr, qp.log_size, k)
+        )(w)
+
+    out = run(windows_d, slots_d, sk_d, sl_d, sr_d)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return jax.tree.map(np.asarray, multihost_utils.process_allgather(out, tiled=True))
+    return jax.tree.map(np.asarray, out)
+
+
 def distributed_count_step(mesh: Mesh, read_codes: np.ndarray, k: int, histo_max: int = 10000):
     """One data-parallel counting step: reads sharded over the mesh; each
     shard extracts + canonicalizes its k-mers, ROUTES every k-mer to its
