@@ -223,7 +223,10 @@ def pipeline_step(mesh: Mesh, read_codes: np.ndarray, windows: np.ndarray, solid
 
     runs, ghist = distributed_count_step(mesh, read_codes, k)
     qm = X.build_fused(np.asarray(solid_sorted, np.uint64), k, np.asarray(repeat_sorted, np.uint64))
-    planes = sharded_scan_q(mesh, windows, qm, k)
+    # the CLI's sharded engine rides the pair-coalesced map — exercise the
+    # same path here so the dryrun guards it
+    qp = X.build_fused_pair(np.asarray(solid_sorted, np.uint64), k, np.asarray(repeat_sorted, np.uint64))
+    planes = sharded_scan_qp(mesh, windows, qp, k)
     n_dev = mesh.devices.size
     nodes = np.asarray(solid_sorted, np.uint64)[: 2 * n_dev]
     budgets = np.full(nodes.shape, 32, np.int32)
