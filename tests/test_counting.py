@@ -193,3 +193,49 @@ def test_partitioned_resplit_oversized_partition(tmp_path):
         K.kmers_from_codes(codes, k)[0], k), return_counts=True)
     assert np.array_equal(res.kmers, want_u)
     assert np.array_equal(res.counts, want_c)
+
+
+def test_count_batch_device_matches_numpy():
+    """count_batch_device (fused extract+sort+RLE, scatter-free compaction)
+    must reproduce the exact distinct-key/count sets, including separator
+    handling and the compacted-prefix contract."""
+    import jax.numpy as jnp
+
+    from mindthegap_tpu.ops import kmers as K
+    from mindthegap_tpu.ops.counting_device import SENTINEL, count_batch_device
+
+    rng = np.random.default_rng(5)
+    k = 21
+    codes = rng.integers(0, 4, size=100000, dtype=np.uint8)
+    codes[5000:5003] = 255  # read separators
+    keys_d, counts_d, nd_d = count_batch_device(jnp.asarray(codes), k)
+    nd = int(nd_d)
+    keys = np.asarray(keys_d[:nd])
+    counts = np.asarray(counts_d[:nd])
+    fwd, valid = K.kmers_from_codes(codes, k)
+    canon = K.canonical_u64(fwd, k)[valid.astype(bool)]
+    u, c = np.unique(canon, return_counts=True)
+    assert keys.size == u.size
+    assert (keys == u).all() and (counts == c).all()
+    assert (np.asarray(keys_d[nd:]) == SENTINEL).all()
+
+
+def test_device_streaming_counter_matches_host():
+    """DeviceStreamingCounter (sliced distinct-prefix transfers) equals the
+    host StreamingCounter across multi-flush batches."""
+    from mindthegap_tpu.ops.counting import StreamingCounter
+    from mindthegap_tpu.ops.counting_device import DeviceStreamingCounter
+
+    rng = np.random.default_rng(9)
+    k = 15
+    host = StreamingCounter(k)
+    dev = DeviceStreamingCounter(k, batch_bases=1 << 12)
+    for _ in range(40):
+        read = rng.integers(0, 4, size=rng.integers(40, 300), dtype=np.uint8)
+        host.add_codes(read)
+        dev.add_codes(read)
+    hr = host.result()
+    dr = dev.result()
+    assert (hr.kmers == dr.kmers).all()
+    assert (hr.counts == dr.counts).all()
+    assert (hr.histogram == dr.histogram).all()
