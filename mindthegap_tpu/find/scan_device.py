@@ -7,11 +7,14 @@ position). The whole window is processed as one fused jit program:
   codes[W] (uint8)  ->  fwd kmers, validity, canonical membership,
                         fwd-strand in/out degrees, (k-1) repeat bits
 
-Membership probes are binary searches over the device-resident sorted solid
-set — 11 searchsorted sweeps of W x log2(N), all batched, no host round
-trips. Windows are padded to fixed shapes so each (W, k, N-bucket) signature
-compiles once; the multi-chip path shards the window axis over the mesh
-(mindthegap_tpu/parallel/mesh.py).
+Engine lineage (all exact, selected by -scan-engine): sorted-array binary
+search (scan_planes_device, the simple reference point), the fused quotient
+map (~2 u64 gathers/position, scan_planes_device_q), the single-probe
+bucket map (scan_planes_device_qb), and the pair-coalesced map (one
+[1,2]-u64 row lookup per TWO positions, scan_planes_device_qp — the
+fastest measured and the `auto` choice). Windows are padded to fixed
+shapes so each (W, k, table) signature compiles once; the multi-chip path
+shards the window axis over the mesh (mindthegap_tpu/parallel/mesh.py).
 """
 
 from __future__ import annotations
@@ -52,55 +55,6 @@ def _member(sorted_arr, keys):
     return sorted_arr[idx] == keys
 
 
-def _member_cuckoo(ct, keys):
-    from ..ops import cuckoo
-
-    return cuckoo.contains(ct, keys, xp=jnp)
-
-
-@partial(jax.jit, static_argnames=("k", "log_size", "repeat_log_size"))
-def scan_planes_device_cuckoo(codes, table, stash, k: int, log_size: int, repeat_table, repeat_stash, repeat_log_size: int):
-    """Plane pass with cuckoo-hash membership: ~3 independent u64 gathers per
-    probe instead of ~log2(N) dependent ones — the gather count is the TPU
-    bottleneck for this pass."""
-    from ..ops.cuckoo import CuckooTable
-
-    ct = CuckooTable(table, stash, log_size)
-    rt = CuckooTable(repeat_table, repeat_stash, repeat_log_size)
-
-    fwd, valid = rolling_kmers_device(codes, k)
-    canon = K.canonical_u64(fwd, k, jnp)
-    contains = _member_cuckoo(ct, canon)
-
-    mask = K.kmer_mask(k)
-    shift_hi = jnp.uint64(2 * (k - 1))
-    nb_out = jnp.zeros(fwd.shape, jnp.int32)
-    nb_in = jnp.zeros(fwd.shape, jnp.int32)
-    for x in range(4):
-        out_n = ((fwd << jnp.uint64(2)) | jnp.uint64(x)) & mask
-        nb_out = nb_out + _member_cuckoo(ct, K.canonical_u64(out_n, k, jnp))
-        in_n = (fwd >> jnp.uint64(2)) | (jnp.uint64(x) << shift_hi)
-        nb_in = nb_in + _member_cuckoo(ct, K.canonical_u64(in_n, k, jnp))
-    nb_out = jnp.where(contains, nb_out, 0)
-    nb_in = jnp.where(contains, nb_in, 0)
-
-    km1_mask = K.kmer_mask(k - 1)
-    suffix = fwd & km1_mask
-    prefix = (fwd >> jnp.uint64(2)) & km1_mask
-    suffix_rep = _member_cuckoo(rt, K.canonical_u64(suffix, k - 1, jnp))
-    prefix_rep = _member_cuckoo(rt, K.canonical_u64(prefix, k - 1, jnp))
-
-    return {
-        "fwd": fwd,
-        "valid": valid,
-        "contains": contains,
-        "nb_in": nb_in,
-        "nb_out": nb_out,
-        "suffix_rep": suffix_rep,
-        "prefix_rep": prefix_rep,
-    }
-
-
 @partial(jax.jit, static_argnames=("k",))
 def scan_planes_device(codes, solid_sorted, repeat_sorted, k: int):
     """The full plane pass for one (padded) window. Returns a dict of
@@ -138,54 +92,12 @@ def scan_planes_device(codes, solid_sorted, repeat_sorted, k: int):
     }
 
 
-@partial(jax.jit, static_argnames=("k", "ext_log", "rep_log"))
-def scan_planes_device_ext(
-    codes, ext_keys, ext_payload, ext_stash_k, ext_stash_v, ext_log: int,
-    rep_keys, rep_stash, rep_log: int, k: int,
-):
-    """Plane pass over the extension-bitmap map (ops/extmap.py): ~6 gathers
-    per position total (4 for the ext payload lookup, 2 for the repeat set)
-    versus ~33 for per-kmer cuckoo probes and ~260 for binary search —
-    the pass is HBM-gather-bound, so this is the speed-of-light layout."""
-    from ..ops import extmap as X
-
-    em = X.ExtMap(ext_keys, ext_payload, ext_log, ext_stash_k, ext_stash_v)
-    rm = X.ExtMap(rep_keys, jnp.zeros((1,), jnp.uint8), rep_log, rep_stash, jnp.zeros((1,), jnp.uint8))
-
-    # q_j = (k-1)-mer starting at j, for j = 0..P (P = W-k+1): P+1 entries
-    q, _qvalid = rolling_kmers_device(codes, k - 1)
-    fwd, valid = rolling_kmers_device(codes, k)
-    p = fwd.shape[0]
-
-    canon_q = K.canonical_u64(q, k - 1, jnp)
-    is_canon = q == canon_q
-    payload = X.lookup_payload(em, canon_q, xp=jnp)
-    rep = X.lookup_member(rm, canon_q, xp=jnp)
-
-    last_base = jnp.where(codes[k - 1 :] == INVALID, 0, codes[k - 1 :]).astype(jnp.uint8)
-    contains, nb_in, nb_out = X.planes_from_payload(
-        payload[:p], payload[1:], is_canon[:p], is_canon[1:], last_base, xp=jnp
-    )
-    nb_out = jnp.where(contains, nb_out, 0).astype(jnp.int32)
-    nb_in = jnp.where(contains, nb_in, 0).astype(jnp.int32)
-
-    return {
-        "fwd": fwd,
-        "valid": valid,
-        "contains": contains,
-        "nb_in": nb_in,
-        "nb_out": nb_out,
-        "suffix_rep": rep[1:],
-        "prefix_rep": rep[:p],
-    }
-
-
 @partial(jax.jit, static_argnames=("log_size", "k"))
 def scan_planes_device_q(codes, slots, stash_k, stash_v, log_size: int, k: int):
     """Plane pass over the fused quotient map (ops/extmap.py QMap): ~2 HBM
     gathers per position for the full plane set — membership, fwd-strand
     degrees AND both (k-1)-mer repeat bits ride in one 9-bit payload.
-    This is the flagship find-scan path (3x fewer gathers than _ext)."""
+    Superseded as flagship by the pair-coalesced map (_qp) below."""
     from ..ops import extmap as X
 
     qm = X.QMap(slots, log_size, stash_k, stash_v)

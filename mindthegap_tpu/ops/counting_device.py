@@ -34,17 +34,6 @@ SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 SEP = 255  # read separator / invalid base code
 
 
-@partial(jax.jit, static_argnames=("k",))
-def sort_canon_device(codes, k: int):
-    """codes u8[B] -> sorted canonical kmers u64[B-k+1] (sentinels last)."""
-    from ..find.scan_device import rolling_kmers_device
-
-    fwd, valid = rolling_kmers_device(codes, k)
-    canon = K.canonical_u64(fwd, k, jnp)
-    canon = jnp.where(valid, canon, SENTINEL)
-    return jnp.sort(canon)
-
-
 class DeviceStreamingCounter:
     """Drop-in for ops/counting.py StreamingCounter (k <= 32): batches of
     base codes are concatenated with separators into fixed-size device
