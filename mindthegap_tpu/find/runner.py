@@ -177,7 +177,9 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
             pending = None
             for g0 in range(0, nwin, group):
                 gn = min(group, nwin - g0)
-                rows = np.full((gn, window), 255, np.uint8)
+                # always the full [group, window] shape — a short remainder
+                # group is padded, so exactly ONE program shape compiles
+                rows = np.full((group, window), 255, np.uint8)
                 for j in range(gn):
                     s = (g0 + j) * step
                     part = codes[s : s + window]
