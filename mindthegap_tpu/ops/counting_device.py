@@ -78,10 +78,16 @@ class DeviceStreamingCounter:
         self._buf[self._fill :] = SEP
         # fused device extract+sort+RLE; only the distinct prefix crosses
         # the host boundary (~1/coverage of the raw k-mer stream)
-        keys_d, counts_d, nd_d = count_batch_device(jnp.asarray(self._buf), self.k)
+        # jnp.array (copy=True) — NEVER jnp.asarray here: on the CPU backend
+        # asarray can zero-copy alias the numpy buffer, and the async program
+        # would read the post-clobber SEP fill below (silent empty graph).
+        keys_d, counts_d, nd_d = count_batch_device(jnp.array(self._buf), self.k)
+        # Materialize before mutating self._buf as a second line of defense:
+        # once nd_d's value is host-visible the whole fused program (same
+        # executable) has consumed its inputs.
+        nd = int(nd_d)
         self._fill = 0
         self._buf[:] = SEP
-        nd = int(nd_d)
         if nd == 0:
             return
         u = np.asarray(keys_d[:nd])

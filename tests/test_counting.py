@@ -91,6 +91,52 @@ def test_device_counter_matches_host():
     assert np.array_equal(hr.histogram, dr.histogram)
 
 
+def test_device_counter_flush_no_alias_clobber():
+    """Regression gate for the async flush race: _flush used to clear the
+    numpy staging buffer before the device program materialized; when
+    jnp.asarray zero-copy aliased it (CPU backend) the program read SEP
+    fill and returned an empty run (silent empty graph). Loop many fresh
+    counters with forced mid-read flushes so any alias regression trips."""
+    import numpy as np
+
+    from mindthegap_tpu.ops.counting import StreamingCounter
+    from mindthegap_tpu.ops.counting_device import DeviceStreamingCounter
+    from mindthegap_tpu.utils import dna
+
+    rng = np.random.default_rng(7)
+    k = 21
+    seqs = ["".join(rng.choice(list("ACGT"), size=300)) for _ in range(40)]
+    codes = [dna.seq_to_codes(s) for s in seqs]
+    host = StreamingCounter(k)
+    for c in codes:
+        host.add_codes(c)
+    hr = host.result()
+    assert hr.kmers.size > 0
+    for _ in range(20):
+        dev = DeviceStreamingCounter(k, batch_bases=1 << 10)
+        for c in codes:
+            dev.add_codes(c)
+        dr = dev.result()
+        assert np.array_equal(hr.kmers, dr.kmers)
+        assert np.array_equal(hr.counts, dr.counts)
+
+
+def test_device_count_graph_identical():
+    """E2E gate: find's graph build with -count-engine device produces a
+    graph artifact identical to the host build (VERDICT r3 item 1 — a
+    silently empty graph under the device engine is the worst failure
+    class in the repo)."""
+    import numpy as np
+
+    uri = "/root/reference/data/contig-reads.fasta.gz"
+    gh = dbg.build_graph(uri, 31, 3, count_engine="host")
+    gd = dbg.build_graph(uri, 31, 3, count_engine="device")
+    assert gh.info == gd.info
+    assert gd.solid.keys.size > 0
+    assert np.array_equal(gh.solid.keys, gd.solid.keys)
+    assert np.array_equal(gh.solid.counts, gd.solid.counts)
+
+
 def test_sharded_counter_matches_host():
     """ShardedStreamingCounter (mesh all_to_all key routing + psum
     histogram) must reproduce the host counter exactly — keys, counts,
