@@ -216,11 +216,12 @@ class _FakeSolid:
 
 
 def stage_fill():
-    """Gap-fill jobs: device-batched walker (jobs on vector lanes) vs the
-    host walker. Through a high-latency relay the host engine wins (each
-    walk round is a device round trip); on locally-attached TPUs the
-    batched walker's per-step cost is ~2 gathers across all lanes at once.
-    Reports the faster engine."""
+    """Gap-fill jobs across the three walk engines — native C++
+    (native/traversal.cpp, the production default under -fill-engine auto),
+    host python, and the device-batched walker (jobs on vector lanes).
+    Every engine's output is asserted equal to the python engine's
+    (sequence, end node, stop reason per seed) — a walker returning garbage
+    at speed cannot post a number. Reports the fastest engine."""
     from mindthegap_tpu.fill.traversal import (
         GraphView, Terminator, TraversalPolicy, drive, host_walk, traverse_right_co,
     )
@@ -233,34 +234,61 @@ def stage_fill():
     policy = TraversalPolicy()
     seeds = _fill_seeds(genome, FILL_JOBS)
 
+    term = Terminator(view)
+    t0 = time.perf_counter()
+    out_host = []
+    for s in seeds:
+        view._succ.clear()
+        view._pred.clear()
+        out_host.append(drive(
+            traverse_right_co(view, term, s, policy, FILL_DEPTH),
+            lambda node, budget: host_walk(view, node, budget),
+        ))
+    rate_host = FILL_JOBS / (time.perf_counter() - t0)
+
+    engines = {"host-python": round(rate_host, 1)}
+
+    # native C++ engine (persistent session marks == the shared Terminator)
+    rate_native = 0.0
+    try:
+        from mindthegap_tpu.fill.traversal_native import NativeTraversal, available
+
+        if available():
+            def run_native():
+                sess = NativeTraversal(qm, K, policy)
+                res = [sess.traverse_right(s, FILL_DEPTH) for s in seeds]
+                sess.close()
+                return res
+
+            run_native()  # warm (first call builds nothing, but be uniform)
+            t0 = time.perf_counter()
+            out_native = run_native()
+            rate_native = FILL_JOBS / (time.perf_counter() - t0)
+            assert out_native == out_host, "native fill output != python oracle"
+            engines["native"] = round(rate_native, 1)
+    except Exception as e:
+        sys.stderr.write(f"bench fill native engine failed: {e}\n")
+
     def run_device():
         term = Terminator(view)
         gens = [traverse_right_co(view, term, s, policy, FILL_DEPTH) for s in seeds]
         walker = BatchWalker(qm, K)
         return list(run_jobs_batched(gens, walker))
 
-    run_device()  # warm-up/compile
-    t0 = time.perf_counter()
-    out = run_device()
-    dt = time.perf_counter() - t0
-    assert len(out) == FILL_JOBS
-    rate_device = FILL_JOBS / dt
+    rate_device = 0.0
+    try:
+        run_device()  # warm-up/compile
+        t0 = time.perf_counter()
+        out_device = run_device()
+        dt = time.perf_counter() - t0
+        assert len(out_device) == FILL_JOBS
+        assert out_device == out_host, "device fill output != python oracle"
+        rate_device = FILL_JOBS / dt
+        engines["device"] = round(rate_device, 1)
+    except Exception as e:
+        sys.stderr.write(f"bench fill device engine failed: {e}\n")
 
-    term = Terminator(view)
-    t0 = time.perf_counter()
-    for s in seeds:
-        view._succ.clear()
-        view._pred.clear()
-        drive(
-            traverse_right_co(view, term, s, policy, FILL_DEPTH),
-            lambda node, budget: host_walk(view, node, budget),
-        )
-    rate_host = FILL_JOBS / (time.perf_counter() - t0)
-
-    return {
-        "rate": max(rate_device, rate_host),
-        "engines": {"device": round(rate_device, 1), "host-native": round(rate_host, 1)},
-    }
+    return {"rate": max(rate_host, rate_native, rate_device), "engines": engines}
 
 
 # ---------------------------------------------------------------------------

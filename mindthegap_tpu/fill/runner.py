@@ -170,6 +170,14 @@ class Filler:
         with self.phases.phase("graph view (quotient map) build"):
             layout = "bucket" if self.fill_engine == "device-qb" else "cuckoo"
             self.view = GraphView(self.graph, layout=layout)
+        if self.fill_engine in ("auto", "native"):
+            # C++ per-job engine (native/traversal.cpp): whole
+            # construct_linear_seqs jobs run native, everything else
+            # (anchor matching, contig graph, dedup, writers) unchanged
+            if not self.view.enable_native(self.policy) and self.fill_engine == "native":
+                sys.stderr.write(
+                    "Warning: -fill-engine native unavailable (needs g++ and kmer-size <= 32); using host\n"
+                )
 
         self.breakpoint_mode = has_bkpt
         self.verbose = int(opts.get("verbose", 1))

@@ -91,6 +91,7 @@ class GraphView:
         self._succ: dict[int, tuple] = {}
         self._pred: dict[int, tuple] = {}
         self.qm = None
+        self.native = None  # NativeTraversal session (enable_native)
         if graph.k <= 32:
             from ..ops import extmap as X
 
@@ -112,6 +113,23 @@ class GraphView:
                 for sk, sv in zip(self.qm.stash_keys, self.qm.stash_payload)
                 if sk != np.uint64(0xFFFFFFFFFFFFFFFF)
             }
+
+    def enable_native(self, policy: "TraversalPolicy") -> bool:
+        """Attach the native C++ traversal engine (native/traversal.cpp) so
+        construct_linear_seqs_co short-circuits to it. Requires a cuckoo
+        QMap (k <= 32) and a buildable library; returns success."""
+        if self.qm is None or getattr(self, "_is_bucket", False):
+            return False
+        from . import traversal_native as TN
+
+        if not TN.available():
+            return False
+        try:
+            self.native = TN.NativeTraversal(self.qm, self.k, policy)
+        except Exception:
+            self.native = None
+            return False
+        return True
 
     # -- scalar fused-map probe (python ints; exact) -----------------------
     def _payload_int(self, key: int) -> int:
@@ -473,6 +491,16 @@ def construct_linear_seqs_co(
     k = view.k
 
     start = K.str_to_kmer(L[len(L) - k :].upper())
+
+    # native short-circuit: the whole job runs in C++ (bit-exact port of the
+    # loop below; gated by the python-vs-native differential tests)
+    if view.native is not None and policy.trace_fn is None:
+        try:
+            view.native.set_policy(policy)
+        except KeyError:
+            pass  # non-ABI policy enum value: fall through to python
+        else:
+            return view.native.construct_linear_seqs(start, R or "", max_depth, max_nodes, swf)
     queue = deque([(start, 0)])
     contigs: list[str] = []
 
