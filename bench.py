@@ -73,12 +73,17 @@ def _synth(seed=42):
     fwd, _ = Kk.kmers_from_codes(genome, K)
     solid = np.unique(Kk.canonical_u64(fwd, K))
     repeat = np.unique(Kk.canonical_u64(fwd[: 1 << 19] & Kk.kmer_mask(K - 1), K - 1))
-    tmp = SYNTH_CACHE + f".{os.getpid()}"
+    # np.savez appends ".npz" when the name lacks it — keep the suffix or
+    # the os.replace below targets a file that was never written
+    tmp = SYNTH_CACHE + f".{os.getpid()}.npz"
     try:
         np.savez(tmp, genome=genome, solid=solid, repeat=repeat)
         os.replace(tmp, SYNTH_CACHE)
     except Exception:
         pass
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return genome, solid, repeat
 
 

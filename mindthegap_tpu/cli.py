@@ -45,7 +45,8 @@ FIND_OPTIONS = {
     "max-disk": (True, "0", "max disk for graph building (in MBytes)", True),
     "max-memory": (True, "2000", "max memory for graph building (in MBytes)", True),
     "verbose": (True, "1", "verbosity level", True),
-    "scan-engine": (True, "auto", "reference-scan engine: auto | host | device | device-qp | device-qb | sharded", False),
+    "scan-engine": (True, "auto", "reference-scan engine: auto | host | device | device-qp | device-qb | sharded | sharded-mem", False),
+    "scan-memory": (True, "0", "per-chip memory budget for the replicated scan map in MBytes (0 = auto); exceeded -> sharded-mem membership routing on a mesh", False),
     "count-engine": (True, "auto", "k-mer counting engine: auto | host | device | sharded | partitioned", False),
     "automaton": (True, "auto", "breakpoint automaton: auto | native | host", False),
     "profile": (False, None, "add per-phase wall-clock timings to the result report", False),

@@ -307,6 +307,35 @@ class Filler:
     # device-batched walker (jobs ride vector lanes; fill/walk_device.py)
     # ------------------------------------------------------------------
     def _run_jobs(self, fn, co_fn, jobs):
+        # multi-host: shard jobs across processes (the Dispatcher fan-out at
+        # host scale, SURVEY.md §2.3 row 2), allgather the per-shard results,
+        # and replay them in input order — every process reconstructs the
+        # identical artifact stream; host 0 is the writer of record
+        nproc = 1
+        try:
+            import jax
+
+            nproc = jax.process_count()
+        except Exception:
+            pass
+        if nproc > 1:
+            from ..parallel.distributed import allgather_object, shard_bounds
+
+            if self.fill_engine == "device":
+                sys.stderr.write(
+                    "Warning: -fill-engine device is per-process under multi-host; using host engines\n"
+                )
+                self.fill_engine = "auto"
+                self.view.enable_native(self.policy)
+            lo, hi = shard_bounds(len(jobs), nproc, jax.process_index())
+            local = list(self._run_jobs_local(fn, co_fn, jobs[lo:hi]))
+            self.n_local_jobs = len(local)
+            for chunk in allgather_object(local):
+                yield from chunk
+            return
+        yield from self._run_jobs_local(fn, co_fn, jobs)
+
+    def _run_jobs_local(self, fn, co_fn, jobs):
         engine = self.fill_engine
         if engine == "device-qb":
             engine = "device"  # same dispatch; the view/walker carry the layout

@@ -15,6 +15,7 @@ import numpy as np
 
 from .. import MTG_COMPAT_VERSION, KSIZE_STRING
 from ..graph import dbg
+from ..ops import kmers as K
 from ..io.bank import Bank
 from ..utils import dna
 from ..utils.progress import Progress
@@ -68,11 +69,24 @@ def parse_bed_for_chrom(bed_path: str, chrom_name: str, k: int):
     return intervals
 
 
-def _make_plane_fn(engine: str, graph, repeat_set, k: int):
+def _scan_map_bytes_estimate(n_solid: int) -> int:
+    """Projected footprint of the replicated pair-coalesced scan map: 16 B
+    per slot row, power-of-two sizing at load factor 0.35 (extmap.py QMapP)."""
+    import math
+
+    n = max(int(n_solid), 1)
+    return (1 << math.ceil(math.log2(n / 0.35))) * 16
+
+
+def _make_plane_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: int = 0):
     """Select the scan engine: "host" (numpy oracle), "device" (XLA pass over
-    the extension-bitmap map — identical results, ~73x faster per chip), or
-    "auto" (device when an accelerator is present and the sets fit the k<=32
-    device path)."""
+    the extension-bitmap map — identical results, ~73x faster per chip),
+    "sharded" (window-sharded over the mesh, replicated map), "sharded-mem"
+    (key-range-sharded membership with Bloom-prefiltered all_to_all routing
+    for over-HBM solid sets), or "auto" (device when an accelerator is
+    present and the sets fit the k<=32 device path; switches to sharded-mem
+    when the replicated map would exceed the per-chip budget and a mesh is
+    available)."""
     def host_fn(codes):
         return scan.compute_planes(codes, k, graph.solid.kmers, repeat_set.kmers)
 
@@ -80,6 +94,22 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
         return host_fn
     if k > 32:
         return _make_span_plane_fn(engine, graph, repeat_set, k, host_fn)
+    if engine in ("auto", "sharded") and k <= 32:
+        # capacity gate (SURVEY.md §2.3 last row): a replicated map bigger
+        # than the per-chip budget routes membership through the sharded
+        # Bloom path instead. Budget: -scan-memory MB, else ~3/4 of one
+        # v5e chip's 16 GB HBM.
+        budget = (scan_memory_mb << 20) if scan_memory_mb > 0 else 12 << 30
+        if _scan_map_bytes_estimate(len(graph.solid)) > budget:
+            try:
+                import jax
+
+                if len(jax.devices()) > 1:
+                    engine = "sharded-mem"
+            except Exception:
+                pass
+    if engine == "sharded-mem":
+        return _make_sharded_mem_plane_fn(graph, repeat_set, k, host_fn)
     if engine == "sharded":
         return _make_sharded_plane_fn(graph, repeat_set, k, host_fn)
     if engine == "auto":
@@ -205,6 +235,75 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int):
         import sys
 
         sys.stderr.write(f"warning: device scan unavailable ({e}); using host scan\n")
+        return host_fn
+
+
+def _make_sharded_mem_plane_fn(graph, repeat_set, k: int, host_fn, chunk: int = 1 << 20):
+    """Over-HBM scan engine (SURVEY.md §2.3 last row / §5.8): the solid set
+    is sharded by contiguous key range across the mesh and every membership
+    probe — canonical k-mer plus the 8 strand-aware neighbors — routes to
+    its owner shard via Bloom-prefiltered all_to_all
+    (parallel/sharded_membership.py). The per-chip footprint is
+    |solid|/n_dev keys instead of the full replicated map; results are
+    byte-identical to the host oracle (exactness: Bloom negatives are
+    one-sided, positives resolve on the owner's exact sorted shard).
+
+    The (k-1)-mer repeat set stays replicated (it is bounded by the
+    reference genome, ~1000x smaller than a read-set solid map)."""
+    try:
+        from ..parallel import mesh as M
+        from ..parallel.sharded_membership import ShardedMembership
+        from .scan import Planes, _member_sorted
+
+        mesh = M.make_mesh()
+        if mesh.devices.size < 2:
+            raise RuntimeError("sharded-mem needs a multi-device mesh")
+        sm = ShardedMembership(mesh, np.asarray(graph.solid.kmers, np.uint64))
+        rep_kmers = repeat_set.kmers
+        mask = K.kmer_mask(k)
+        km1_mask = K.kmer_mask(k - 1)
+        shift_hi = np.uint64(2 * (k - 1))
+
+        def fn(codes):
+            fwd_all, valid_all = K.kmers_from_codes(codes, k)
+            p = fwd_all.shape[0]
+            if p == 0:
+                return host_fn(codes)
+            outs = {key: [] for key in ("contains", "nb_in", "nb_out")}
+            for lo in range(0, p, chunk):
+                fwd = fwd_all[lo : lo + chunk]
+                # 9 membership queries per position, ONE routed batch
+                qs = [K.canonical_u64(fwd, k)]
+                for x in range(4):
+                    out_n = ((fwd << np.uint64(2)) | np.uint64(x)) & mask
+                    qs.append(K.canonical_u64(out_n, k))
+                for x in range(4):
+                    in_n = (fwd >> np.uint64(2)) | (np.uint64(x) << shift_hi)
+                    qs.append(K.canonical_u64(in_n, k))
+                res = sm.contains(np.concatenate(qs)).reshape(9, fwd.shape[0])
+                contains = res[0]
+                nb_out = np.where(contains, res[1:5].sum(axis=0), 0).astype(np.int32)
+                nb_in = np.where(contains, res[5:9].sum(axis=0), 0).astype(np.int32)
+                outs["contains"].append(contains)
+                outs["nb_out"].append(nb_out)
+                outs["nb_in"].append(nb_in)
+            suffix = fwd_all & km1_mask
+            prefix = (fwd_all >> np.uint64(2)) & km1_mask
+            return Planes(
+                valid=valid_all,
+                fwd=fwd_all,
+                contains=np.concatenate(outs["contains"]),
+                nb_in=np.concatenate(outs["nb_in"]),
+                nb_out=np.concatenate(outs["nb_out"]),
+                suffix_rep=np.asarray(_member_sorted(rep_kmers, K.canonical_u64(suffix, k - 1), np)),
+                prefix_rep=np.asarray(_member_sorted(rep_kmers, K.canonical_u64(prefix, k - 1), np)),
+            )
+
+        return fn
+    except Exception as e:
+        import sys
+
+        sys.stderr.write(f"warning: sharded-mem scan unavailable ({e}); using host scan\n")
         return host_fn
 
 
@@ -480,7 +579,10 @@ def run_find(opts: dict, out=None) -> Properties:
             refbank.estimate_sequences_size(), "Finding breakpoints", enabled=verbose > 0
         )
         with phases.phase("scan engine setup"):
-            plane_fn = _make_plane_fn(opts.get("scan-engine", "auto"), graph, repeat_set, k)
+            plane_fn = _make_plane_fn(
+                opts.get("scan-engine", "auto"), graph, repeat_set, k,
+                scan_memory_mb=int(opts.get("scan-memory", 0)),
+            )
         for rec in refbank:
             codes = dna.seq_to_codes(rec.seq)
             with phases.phase("scan planes"):

@@ -54,6 +54,28 @@ def is_writer() -> bool:
     return jax.process_index() == 0
 
 
+def allgather_object(obj) -> list:
+    """Gather one picklable object per process; every process returns the
+    list [obj_proc0, obj_proc1, ...]. Two collectives: max-length, then the
+    padded byte buffers (jax.experimental.multihost_utils) — the merge path
+    for fill-job results (the reference's Dispatcher gather has no
+    multi-host analog; SURVEY.md §2.3 row 2)."""
+    import pickle
+
+    from jax.experimental import multihost_utils as mu
+
+    buf = np.frombuffer(pickle.dumps(obj), np.uint8)
+    lens = np.asarray(mu.process_allgather(np.array([buf.size], np.int64)))
+    lens = lens.reshape(-1)
+    m = int(lens.max())
+    pad = np.zeros(m, np.uint8)
+    pad[: buf.size] = buf
+    allb = np.asarray(mu.process_allgather(pad))
+    return [
+        pickle.loads(allb[i, : int(lens[i])].tobytes()) for i in range(allb.shape[0])
+    ]
+
+
 def shard_bounds(n_items: int, n_shards: int, shard: int) -> tuple[int, int]:
     """Contiguous [lo, hi) bounds of `shard` when n_items are split as evenly
     as possible — the job/window partitioning used for find windows and fill

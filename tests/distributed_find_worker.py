@@ -46,6 +46,8 @@ def main():
         "ref": f"{data}/reference.fasta",
         "out": prefix,
         "scan-engine": "sharded",
+        "count-engine": "sharded",  # 2-process DSK over the global mesh;
+        # the parent asserts the written .h5 equals the solo graph
         "automaton": "host",
         "verbose": 0,
     }

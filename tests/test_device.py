@@ -122,6 +122,59 @@ def test_sharded_find_end_to_end_identical(tmp_path):
     assert outs["host"][1] == outs["sharded"][1], "VCF records differ across engines"
 
 
+def test_sharded_mem_find_end_to_end_identical(tmp_path):
+    """Over-HBM membership routing (scan-engine sharded-mem / auto with a
+    tiny -scan-memory budget): the Bloom-prefiltered all_to_all sharded
+    solid set must yield byte-identical find artifacts on the 8-device CPU
+    mesh (VERDICT r3 item 4 — the SURVEY §2.3 'sharded Bloom' row as a real
+    engine)."""
+    import io
+
+    from mindthegap_tpu.find import runner
+    from mindthegap_tpu.parallel.sharded_membership import ShardedMembership
+
+    # spy: the routed path must actually run (a silent fallback to the host
+    # scan would make this test vacuous)
+    routed = []
+    orig = ShardedMembership.contains
+
+    def spy(self, keys):
+        routed.append(len(keys))
+        return orig(self, keys)
+
+    ShardedMembership.contains = spy
+
+    data = "/root/reference/data"
+    outs = {}
+    for eng, extra in (
+        ("host", {}),
+        ("sharded-mem", {}),
+        # auto must route to sharded-mem when the projected replicated map
+        # exceeds the budget (1 MB here; the solid set maps to ~4 MB)
+        ("auto", {"scan-memory": "1"}),
+    ):
+        prefix = str(tmp_path / f"e2e_{eng}")
+        opts = {
+            "in": f"{data}/reads_r1.fastq,{data}/reads_r2.fastq",
+            "ref": f"{data}/reference.fasta",
+            "out": prefix,
+            "scan-engine": eng,
+            "automaton": "host",
+            "verbose": 0,
+            **extra,
+        }
+        runner.run_find(opts, out=io.StringIO())
+        outs[eng] = (
+            open(prefix + ".breakpoints").read(),
+            [l for l in open(prefix + ".othervariants.vcf") if not l.startswith("##")],
+        )
+    ShardedMembership.contains = orig
+    assert len(routed) > 0 and sum(routed) > 0, "sharded-mem engine never routed a query"
+    for eng in ("sharded-mem", "auto"):
+        assert outs["host"][0] == outs[eng][0], f"breakpoints differ: host vs {eng}"
+        assert outs["host"][1] == outs[eng][1], f"VCF records differ: host vs {eng}"
+
+
 def test_shard_bounds_partition():
     from mindthegap_tpu.parallel.distributed import shard_bounds
 
