@@ -61,6 +61,17 @@ class TraversalPolicy:
     lifo: bool = False                 # queue discipline (False = FIFO)
     depth_with_kmer: bool = True       # depth += len(contig) (else len(contig) - k)
     max_nodes_strict: bool = False     # break when nbNodes >= max_nodes (else >)
+    # --- GATB BranchingTerminator edge-bitmask model (VERDICT r3 item 6):
+    # marks live per BRANCHING node as an 8-bit edge mask (bits 0-3 out by
+    # nt, 4-7 in by predecessor top base, canonical orientation); node-level
+    # marks of non-branching nodes delegate to edges touching branching
+    # neighbors. Off by default (the calibrated node-mark model).
+    edge_marks: bool = False
+    step_mark_kind: str = "edge"       # passed_branch_mark marks: "edge" | "node"
+    stop_check_kind: str = "edge"      # stop_at_marked checks: "edge" | "node"
+    pop_check_kind: str = "edge"       # marked-start pop checks: "edge" | "node"
+    bubble_mark_kind: str = "paths"    # explore marking: "paths" (edges of
+    # enumerated bubble paths) | "nodes" (delegated node-mark of involved)
 
 
 _M64 = (1 << 64) - 1
@@ -232,6 +243,97 @@ class Terminator:
         return self.view.canonical(fwd) in self.marked
 
 
+class EdgeTerminator(Terminator):
+    """GATB BranchingTerminator model (the reference delegates to it at
+    src/Filler.cpp:866): an 8-bit edge bitmask per BRANCHING node — bits 0-3
+    = out-edges keyed by appended nt, bits 4-7 = in-edges keyed by the
+    predecessor's top base, both expressed in the node's canonical
+    orientation. Only branching nodes hold state; edge/node marks touching
+    non-branching nodes delegate to their branching endpoints/neighbors."""
+
+    def __init__(self, view: GraphView):
+        super().__init__(view)
+        self.masks: dict[int, int] = {}  # canonical branching kmer -> mask
+
+    def reset(self):
+        super().reset()
+        self.masks.clear()
+
+    # -- orientation helpers ------------------------------------------------
+    def _out_bit(self, u: int, nt: int) -> tuple[int, int]:
+        """(canonical key, bit) of edge u --nt--> . as seen from u."""
+        cu = self.view.canonical(u)
+        return (cu, nt) if u == cu else (cu, 4 + (nt ^ 2))
+
+    def _in_bit(self, v: int, top_base: int) -> tuple[int, int]:
+        """(canonical key, bit) of edge . --> v arriving with predecessor
+        top base `top_base`, as seen from v."""
+        cv = self.view.canonical(v)
+        return (cv, 4 + top_base) if v == cv else (cv, top_base ^ 2)
+
+    # -- edge marks ---------------------------------------------------------
+    def mark_edge(self, u: int, nt: int):
+        """Mark edge u --nt--> v on every branching endpoint."""
+        view = self.view
+        k = view.k
+        v = ((u << 2) | nt) & ((1 << (2 * k)) - 1)
+        if view.is_branching(u):
+            key, bit = self._out_bit(u, nt)
+            self.masks[key] = self.masks.get(key, 0) | (1 << bit)
+        if view.is_branching(v):
+            key, bit = self._in_bit(v, (u >> (2 * (k - 1))) & 3)
+            self.masks[key] = self.masks.get(key, 0) | (1 << bit)
+
+    def is_marked_edge(self, u: int, nt: int) -> bool:
+        view = self.view
+        k = view.k
+        v = ((u << 2) | nt) & ((1 << (2 * k)) - 1)
+        if view.is_branching(u):
+            key, bit = self._out_bit(u, nt)
+            if (self.masks.get(key, 0) >> bit) & 1:
+                return True
+        if view.is_branching(v):
+            key, bit = self._in_bit(v, (u >> (2 * (k - 1))) & 3)
+            if (self.masks.get(key, 0) >> bit) & 1:
+                return True
+        return False
+
+    # -- node marks (delegated) ---------------------------------------------
+    def mark(self, fwd: int):
+        """Node mark: a branching node gets all 8 bits; a non-branching node
+        delegates to every edge shared with a branching neighbor."""
+        view = self.view
+        if view.is_branching(fwd):
+            self.masks[view.canonical(fwd)] = 0xFF
+            return
+        k = view.k
+        for nt, nb in view.successors(fwd):
+            if view.is_branching(nb):
+                key, bit = self._in_bit(nb, (fwd >> (2 * (k - 1))) & 3)
+                self.masks[key] = self.masks.get(key, 0) | (1 << bit)
+        for nt, pb in view.predecessors(fwd):
+            if view.is_branching(pb):
+                key, bit = self._out_bit(pb, fwd & 3)
+                self.masks[key] = self.masks.get(key, 0) | (1 << bit)
+
+    def is_marked(self, fwd: int) -> bool:
+        view = self.view
+        if view.is_branching(fwd):
+            return self.masks.get(view.canonical(fwd), 0) != 0
+        k = view.k
+        for nt, nb in view.successors(fwd):
+            if view.is_branching(nb):
+                key, bit = self._in_bit(nb, (fwd >> (2 * (k - 1))) & 3)
+                if (self.masks.get(key, 0) >> bit) & 1:
+                    return True
+        for nt, pb in view.predecessors(fwd):
+            if view.is_branching(pb):
+                key, bit = self._out_bit(pb, fwd & 3)
+                if (self.masks.get(key, 0) >> bit) & 1:
+                    return True
+        return False
+
+
 def _find_end_of_branching(view: GraphView, start: int, policy: TraversalPolicy,
                            term: "Terminator | None" = None):
     """Frontline BFS from a branching node until the frontline collapses to a
@@ -345,9 +447,19 @@ def _explore_branching(view: GraphView, term: Terminator, node: int, policy: Tra
                 if nw_identity(paths[i], paths[j]) * 100 < policy.consensus_identity:
                     return None
     consensus = sorted(paths)[0]
-    for n in involved:
-        if view.is_branching(n):
-            term.mark(n)
+    if getattr(policy, "edge_marks", False) and policy.bubble_mark_kind == "paths":
+        # edge-bitmask model: mark every edge of every enumerated bubble path
+        mask = (1 << (2 * view.k)) - 1
+        for s in paths:
+            cur = node
+            for ch in s:
+                nt = "ACTG".index(ch)
+                term.mark_edge(cur, nt)
+                cur = ((cur << 2) | nt) & mask
+    else:
+        for n in involved:
+            if view.is_branching(n):
+                term.mark(n)
     return consensus, end
 
 
@@ -436,14 +548,22 @@ def traverse_right_co(view: GraphView, term: Terminator, start: int, policy: Tra
             continue
         nt, nxt = succs[0]
         if view.is_branching(nxt):
+            edge_mode = getattr(policy, "edge_marks", False)
+            stop_hit = (
+                term.is_marked_edge(node, nt)
+                if edge_mode and policy.stop_check_kind == "edge"
+                else term.is_marked(nxt)
+            )
             if policy.trace_fn:
-                policy.trace_fn("step_branching", offset=slen, node=nxt,
-                                marked=term.is_marked(nxt))
-            if policy.stop_at_marked and term.is_marked(nxt):
+                policy.trace_fn("step_branching", offset=slen, node=nxt, marked=stop_hit)
+            if policy.stop_at_marked and stop_hit:
                 reason = "marked"
                 break
             if policy.passed_branch_mark:
-                term.mark(nxt)
+                if edge_mode and policy.step_mark_kind == "edge":
+                    term.mark_edge(node, nt)
+                else:
+                    term.mark(nxt)
         seq.append("ACTG"[nt])
         slen += 1
         node = nxt
@@ -487,14 +607,15 @@ def construct_linear_seqs_co(
     Returns the ordered list of contig strings (node id = list index)."""
     policy = policy or TraversalPolicy()
     view = view or GraphView(graph)
-    term = Terminator(view)
+    edge_mode = getattr(policy, "edge_marks", False)
+    term = EdgeTerminator(view) if edge_mode else Terminator(view)
     k = view.k
 
     start = K.str_to_kmer(L[len(L) - k :].upper())
 
     # native short-circuit: the whole job runs in C++ (bit-exact port of the
     # loop below; gated by the python-vs-native differential tests)
-    if view.native is not None and policy.trace_fn is None:
+    if view.native is not None and policy.trace_fn is None and not edge_mode:
         try:
             view.native.set_policy(policy)
         except KeyError:
@@ -516,8 +637,14 @@ def construct_linear_seqs_co(
         return False
 
     while queue:
-        cur, depth = queue.pop() if policy.lifo else queue.popleft()
-        if contigs and term.is_marked(cur):
+        popped = queue.pop() if policy.lifo else queue.popleft()
+        cur, depth = popped[0], popped[1]
+        in_edge = popped[2] if len(popped) > 2 else None
+        if edge_mode and policy.pop_check_kind == "edge":
+            pop_marked = in_edge is not None and term.is_marked_edge(*in_edge)
+        else:
+            pop_marked = term.is_marked(cur)
+        if contigs and pop_marked:
             if policy.skip_marked_start == "skip":
                 continue
             if policy.skip_marked_start == "kmer":
@@ -526,8 +653,8 @@ def construct_linear_seqs_co(
                 if swf_hit(seq) and not policy.swf_noextend:
                     break
                 if policy.marked_start_push:
-                    for _, nxt in view.successors(cur):
-                        queue.append((nxt, depth + len(seq)))
+                    for nt, nxt in view.successors(cur):
+                        queue.append((nxt, depth + len(seq), (cur, nt)))
                 continue
         if policy.start_mark and view.is_branching(cur):
             term.mark(cur)
@@ -548,8 +675,8 @@ def construct_linear_seqs_co(
             continue
         if reason == "marked" and not policy.push_on_marked_stop:
             continue
-        for _, nxt in view.successors(last):
-            queue.append((nxt, new_depth))
+        for nt, nxt in view.successors(last):
+            queue.append((nxt, new_depth, (last, nt)))
     return contigs
 
 

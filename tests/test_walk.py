@@ -85,3 +85,57 @@ def test_graphview_span_fallback():
         assert (int(c), nxt) in view.successors(x)
         assert canonical_int(nxt, k) in ints
         x = nxt
+
+
+def test_edge_terminator_orientation_algebra():
+    """EdgeTerminator (the GATB BranchingTerminator edge-bitmask model,
+    docs/PARITY.md round-4 attempt): marking an edge from one orientation
+    must be visible from the reverse-complement orientation of the same
+    edge, and node-delegated marks must land on branching neighbors only."""
+    from mindthegap_tpu.fill.traversal import EdgeTerminator, TraversalPolicy
+    from mindthegap_tpu.utils import dna
+
+    rng = np.random.default_rng(11)
+    k = 9
+    codes = rng.integers(0, 4, size=4000, dtype=np.uint8)
+    fwd, _ = K.kmers_from_codes(codes, k)
+    keys = np.unique(K.canonical_u64(fwd, k))
+    g = Graph(SolidSet(keys, k, np.ones(keys.size, np.int64)))
+    view = GraphView(g)
+    term = EdgeTerminator(view)
+
+    mask = (1 << (2 * k)) - 1
+    n_checked = 0
+    for i in rng.integers(0, fwd.size - 1, size=400):
+        u = int(fwd[i])
+        for nt, v in view.successors(u):
+            if not (view.is_branching(u) or view.is_branching(v)):
+                continue
+            term.masks.clear()
+            term.mark_edge(u, nt)
+            assert term.is_marked_edge(u, nt)
+            # the same edge seen from the reverse strand: rc(v) --top(u)^2--> rc(u)
+            ru = K.revcomp_u64(np.array([u], np.uint64), k)[0]
+            rv = K.revcomp_u64(np.array([v], np.uint64), k)[0]
+            rnt = ((u >> (2 * (k - 1))) & 3) ^ 2
+            assert ((int(rv) << 2) | rnt) & mask == int(ru)
+            assert term.is_marked_edge(int(rv), rnt)
+            n_checked += 1
+    assert n_checked > 10
+
+
+def test_edge_marks_policy_runs_and_matches_defaults_on_simple_graph():
+    """On a branch-free graph the edge-mark model must agree exactly with
+    the calibrated node-mark model (marks only matter at branchings)."""
+    from mindthegap_tpu.fill.traversal import TraversalPolicy, construct_linear_seqs
+
+    rng = np.random.default_rng(3)
+    k = 21
+    codes = rng.integers(0, 4, size=5000, dtype=np.uint8)
+    fwd, _ = K.kmers_from_codes(codes, k)
+    keys = np.unique(K.canonical_u64(fwd, k))
+    g = Graph(SolidSet(keys, k, np.ones(keys.size, np.int64)))
+    L = "".join("ACTG"[c] for c in codes[:k])
+    a = construct_linear_seqs(g, L, "", 2000, 50, True, TraversalPolicy())
+    b = construct_linear_seqs(g, L, "", 2000, 50, True, TraversalPolicy(edge_marks=True))
+    assert a == b and len(a) >= 1
