@@ -127,16 +127,20 @@ class GraphView:
 
     def enable_native(self, policy: "TraversalPolicy") -> bool:
         """Attach the native C++ traversal engine (native/traversal.cpp) so
-        construct_linear_seqs_co short-circuits to it. Requires a cuckoo
-        QMap (k <= 32) and a buildable library; returns success."""
-        if self.qm is None or getattr(self, "_is_bucket", False):
-            return False
+        construct_linear_seqs_co short-circuits to it. k <= 32 probes the
+        cuckoo QMap; 32 < k <= 256 binary-searches the sorted solid key
+        blob (SpanGraph backend). Returns success."""
         from . import traversal_native as TN
 
         if not TN.available():
             return False
         try:
-            self.native = TN.NativeTraversal(self.qm, self.k, policy)
+            if self.qm is not None and not getattr(self, "_is_bucket", False):
+                self.native = TN.NativeTraversal(self.qm, self.k, policy)
+            elif self.k > 32 and getattr(self.g.solid, "span", None) is not None:
+                self.native = TN.NativeTraversalSpan(self.g.solid.keys, self.k, policy)
+            else:
+                return False
         except Exception:
             self.native = None
             return False

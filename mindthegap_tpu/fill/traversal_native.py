@@ -67,6 +67,25 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_char_p, ctypes.c_int64,
     ]
+    # span (k > 32) sessions
+    lib.mtg_tsession_new_span.restype = ctypes.c_void_p
+    lib.mtg_tsession_new_span.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+    ]
+    lib.mtg_tsession_free_span.argtypes = [ctypes.c_void_p]
+    lib.mtg_tsession_reset_marks_span.argtypes = [ctypes.c_void_p]
+    lib.mtg_tsession_set_policy_span.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.mtg_traverse_right_span.restype = ctypes.c_int64
+    lib.mtg_traverse_right_span.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.mtg_construct_linear_seqs_span.restype = ctypes.c_int64
+    lib.mtg_construct_linear_seqs_span.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_int64,
+    ]
     _lib = lib
     return _lib
 
@@ -174,6 +193,87 @@ class NativeTraversal:
         rb = R.encode("ascii")
         n = self._lib.mtg_construct_linear_seqs(
             self._sess, ctypes.c_uint64(start), rb, len(rb),
+            int(max_depth), int(max_nodes), int(bool(swf)),
+            self._buf, len(self._buf),
+        )
+        if n < 0:
+            self._buf = ctypes.create_string_buffer(2 * -n)
+            return self.construct_linear_seqs(start, R, max_depth, max_nodes, swf)
+        if n == 0:
+            return []
+        return self._buf.raw[:n].decode("ascii").split("\n")[:-1]
+
+
+class NativeTraversalSpan:
+    """Span traversal session (32 < k <= 256): multi-word nodes against the
+    sorted big-endian solid key blob (binary-search membership; the
+    SpanGraph backend of native/traversal.cpp). Start k-mers are python
+    ints, converted to the MSW-first word rows of ops/span.py."""
+
+    def __init__(self, solid_keys, k: int, policy):
+        from ..ops.span import Span
+
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native traversal library unavailable")
+        assert 32 < k <= 256
+        self._lib = lib
+        self.k = k
+        self._span = Span(k)
+        keys = np.ascontiguousarray(solid_keys)
+        assert keys.dtype.kind == "V" and keys.dtype.itemsize == 8 * self._span.W
+        self._keys = keys  # keep alive: big-endian rows, memcmp-sorted
+        self._pol = policy_array(policy)
+        self._sess = lib.mtg_tsession_new_span(
+            self._keys.ctypes.data_as(ctypes.c_void_p),
+            int(keys.size), int(k),
+            self._pol.ctypes.data_as(ctypes.c_void_p),
+        )
+        if not self._sess:
+            raise RuntimeError("mtg_tsession_new_span failed")
+        self._buf = ctypes.create_string_buffer(1 << 21)
+
+    def close(self):
+        if getattr(self, "_sess", None):
+            self._lib.mtg_tsession_free_span(self._sess)
+            self._sess = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def set_policy(self, policy):
+        self._pol = policy_array(policy)
+        self._lib.mtg_tsession_set_policy_span(self._sess, self._pol.ctypes.data_as(ctypes.c_void_p))
+
+    def reset_marks(self):
+        self._lib.mtg_tsession_reset_marks_span(self._sess)
+
+    def traverse_right(self, start: int, maxlen: int):
+        row = np.ascontiguousarray(self._span.int_to_row(start))
+        end = np.zeros(self._span.W, np.uint64)
+        reason = ctypes.c_int32()
+        n = self._lib.mtg_traverse_right_span(
+            self._sess, row.ctypes.data_as(ctypes.c_void_p), int(maxlen),
+            self._buf, len(self._buf),
+            end.ctypes.data_as(ctypes.c_void_p), ctypes.byref(reason),
+        )
+        if n < 0:
+            self._buf = ctypes.create_string_buffer(2 * -n)
+            return self.traverse_right(start, maxlen)
+        end_int = 0
+        for w in end:
+            end_int = (end_int << 64) | int(w)
+        return self._buf.raw[:n].decode("ascii"), end_int, REASONS[reason.value]
+
+    def construct_linear_seqs(self, start: int, R: str, max_depth: int,
+                              max_nodes: int, swf: bool) -> list[str]:
+        row = np.ascontiguousarray(self._span.int_to_row(start))
+        rb = R.encode("ascii")
+        n = self._lib.mtg_construct_linear_seqs_span(
+            self._sess, row.ctypes.data_as(ctypes.c_void_p), rb, len(rb),
             int(max_depth), int(max_nodes), int(bool(swf)),
             self._buf, len(self._buf),
         )

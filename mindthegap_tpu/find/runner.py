@@ -307,10 +307,13 @@ def _make_sharded_mem_plane_fn(graph, repeat_set, k: int, host_fn, chunk: int = 
         return host_fn
 
 
-def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 << 18):
+def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 << 22):
     """Window-sharded scan over the full device mesh (the sequence-parallel
     axis, SURVEY.md §5.7): each chromosome is cut into k-1-halo'd windows
-    laid out across devices; the fused quotient map is replicated. Output
+    laid out across devices; the fused quotient map is replicated and
+    placed ONCE; dispatch groups have a fixed [n_dev, window] shape (one
+    compile) and group g-1 materializes while group g computes — the same
+    double-buffered discipline as the tuned single-device engine. Output
     planes are stitched in position order, so every downstream artifact is
     byte-identical to the single-device run."""
     try:
@@ -321,12 +324,14 @@ def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 <
         # pair-coalesced map (half the probes of the 2-probe cuckoo;
         # k <= 32 only — larger spans keep the q layout)
         use_qp = k <= 32
+        mesh = M.make_mesh()
         if use_qp:
             qm = X.build_fused_pair(graph.solid.kmers, k, repeat_set.kmers)
+            dispatch, n_dev = M.make_sharded_scan_group_qp(mesh, qm, k, window)
         else:
             qm = X.build_fused(graph.solid.kmers, k, repeat_set.kmers)
-        mesh = M.make_mesh()
-        n_dev = mesh.devices.size
+            n_dev = int(mesh.devices.size)
+            dispatch = None
         halo = k - 1
         step = window - halo
 
@@ -336,24 +341,48 @@ def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 <
                 return host_fn(codes)
             npos = n - k + 1
             nwin = -(-npos // step)
-            nwin_pad = -(-nwin // n_dev) * n_dev
-            wins = np.full((nwin_pad, window), 255, np.uint8)
-            for i in range(nwin):
-                s = i * step
-                part = codes[s : s + window]
-                wins[i, : part.shape[0]] = part
-            if use_qp:
-                planes = M.sharded_scan_qp(mesh, wins, qm, k)
-            else:
-                planes = M.sharded_scan_q(mesh, wins, qm, k)
-            outs = {}
-            for key in ("fwd", "valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep"):
-                parts = []
+            takes = [min(step, npos - i * step) for i in range(nwin)]
+
+            if dispatch is None:  # k > 32: legacy one-shot path (q layout)
+                nwin_pad = -(-nwin // n_dev) * n_dev
+                wins = np.full((nwin_pad, window), 255, np.uint8)
                 for i in range(nwin):
-                    take = min(step, npos - i * step)
-                    parts.append(np.asarray(planes[key][i])[:take])
-                outs[key] = np.concatenate(parts)
-            return Planes(**outs)
+                    s = i * step
+                    part = codes[s : s + window]
+                    wins[i, : part.shape[0]] = part
+                planes = M.sharded_scan_q(mesh, wins, qm, k)
+                outs = {
+                    key: np.concatenate(
+                        [np.asarray(planes[key][i])[: takes[i]] for i in range(nwin)]
+                    )
+                    for key in ("fwd", "valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep")
+                }
+                return Planes(**outs)
+
+            keys = ("fwd", "valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep")
+            outs = {key: [] for key in keys}
+
+            def materialize(res, g0, gn):
+                for key in keys:
+                    arr = np.asarray(res[key])
+                    for j in range(gn):
+                        outs[key].append(arr[j, : takes[g0 + j]])
+
+            pending = None
+            for g0 in range(0, nwin, n_dev):
+                gn = min(n_dev, nwin - g0)
+                wins = np.full((n_dev, window), 255, np.uint8)
+                for j in range(gn):
+                    s = (g0 + j) * step
+                    part = codes[s : s + window]
+                    wins[j, : part.shape[0]] = part
+                res = dispatch(wins)
+                if pending is not None:
+                    materialize(*pending)
+                pending = (res, g0, gn)
+            if pending is not None:
+                materialize(*pending)
+            return Planes(**{key: np.concatenate(outs[key]) for key in keys})
 
         return sharded_fn
     except Exception as e:

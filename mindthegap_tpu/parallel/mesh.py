@@ -84,6 +84,49 @@ def sharded_scan_q(mesh: Mesh, windows: np.ndarray, qmap, k: int):
     return jax.tree.map(np.asarray, out)
 
 
+def make_sharded_scan_group_qp(mesh: Mesh, qp, k: int, window: int):
+    """Persistent window-sharded scanner over the pair-coalesced map:
+    replicated tables are placed on the mesh ONCE; the returned callable
+    dispatches a fixed [n_dev, window] group (one compile for the whole
+    run) and returns the device result asynchronously — the caller overlaps
+    materialization of group g-1 with compute of group g, exactly like the
+    single-device engine (VERDICT r3 item 8: the sharded path previously
+    re-placed tables and re-compiled per chromosome shape and did no
+    overlap)."""
+    from ..find.scan_device import scan_planes_device_qp
+
+    axis = mesh.axis_names[0]
+    win_sharding = NamedSharding(mesh, P(axis, None))
+    rep_sharding = NamedSharding(mesh, P())
+
+    slots_d = jax.device_put(jnp.asarray(qp.slots), rep_sharding)
+    sk_d = jax.device_put(jnp.asarray(qp.stash_keys), rep_sharding)
+    sl_d = jax.device_put(jnp.asarray(qp.stash_l), rep_sharding)
+    sr_d = jax.device_put(jnp.asarray(qp.stash_r), rep_sharding)
+
+    @jax.jit
+    def run(w, slots, sk, sl, sr):
+        return jax.vmap(
+            lambda row: scan_planes_device_qp(row, slots, sk, sl, sr, qp.log_size, k)
+        )(w)
+
+    n_dev = int(mesh.devices.size)
+
+    def dispatch(wins: np.ndarray):
+        assert wins.shape == (n_dev, window)
+        w_d = jax.device_put(jnp.asarray(wins), win_sharding)
+        out = run(w_d, slots_d, sk_d, sl_d, sr_d)
+        if jax.process_count() > 1:
+            # multi-host: shards live on remote processes; gather globally
+            # (synchronous — multi-host overlap would need async collectives)
+            from jax.experimental import multihost_utils
+
+            return jax.tree.map(np.asarray, multihost_utils.process_allgather(out, tiled=True))
+        return out
+
+    return dispatch, n_dev
+
+
 def sharded_scan_qp(mesh: Mesh, windows: np.ndarray, qp, k: int):
     """Window-sharded find scan over the pair-coalesced map (ops/extmap.py
     QMapP, one [1,2]-row lookup per two positions): windows sharded on the

@@ -5,17 +5,24 @@
 // port of THAT python engine, bit-exact, for the fill hot loop #3 of
 // SURVEY.md §3).
 //
-// The membership structure is the fused cuckoo quotient map built by
-// mindthegap_tpu/ops/extmap.py build_fused: one u64 slot probe per
-// canonical (k-1)-mer yields the full successor (ext) and predecessor (pre)
-// bitmap of a node. Slot layout (extmap.py ~:408):
-//   [ rem : 64-log_size ][ valid:1 (bit 10) ][ choice:1 (bit 9) ][ payload:9 ]
-// Overflow stash: sorted u64 keys + u16 payloads, binary-searched.
+// Two membership backends behind one templated algorithm core:
+//
+//  - QGraph (k <= 32): the fused cuckoo quotient map built by
+//    mindthegap_tpu/ops/extmap.py build_fused — one u64 slot probe per
+//    canonical (k-1)-mer yields the full successor (ext) and predecessor
+//    (pre) bitmap of a node. Slot layout (extmap.py ~:408):
+//      [ rem : 64-log_size ][ valid:1 (bit 10) ][ choice:1 (bit 9) ][ payload:9 ]
+//    Overflow stash: sorted u64 keys + u16 payloads, binary-searched.
+//
+//  - SpanGraph (32 < k <= 256): multi-word k-mers (MSW-first, the
+//    ops/span.py layout) against the sorted big-endian solid key blob
+//    (memcmp order == numeric order) — binary-search membership, removing
+//    the python fallback the fill module used for spans.
 //
 // Exposed C ABI (ctypes bridge: mindthegap_tpu/fill/traversal_native.py):
-//   mtg_tsession_new / free / reset_marks
-//   mtg_traverse_right          — one right extension (bench/unit parity)
-//   mtg_construct_linear_seqs   — one full gap-fill job's contig list
+//   mtg_tsession_new / mtg_tsession_new_span / free / reset_marks
+//   mtg_traverse_right[_span]        — one right extension
+//   mtg_construct_linear_seqs[_span] — one full gap-fill job's contig list
 //
 // Build: g++ -O3 -shared -fPIC -o libmtgtraversal.so traversal.cpp
 
@@ -74,6 +81,15 @@ static inline uint64_t revcomp_u64(uint64_t x, int k)
     return x >> (64 - 2 * k);
 }
 
+// 2-bit-group reversal + complement of one full 64-bit word
+static inline uint64_t rc_word64(uint64_t x)
+{
+    x = ((x & 0x3333333333333333ULL) << 2) | ((x >> 2) & 0x3333333333333333ULL);
+    x = ((x & 0x0F0F0F0F0F0F0F0FULL) << 4) | ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL);
+    x = __builtin_bswap64(x);
+    return x ^ 0xAAAAAAAAAAAAAAAAULL;
+}
+
 static inline uint64_t canonical_u64(uint64_t x, int k)
 {
     uint64_t rc = revcomp_u64(x, k);
@@ -115,18 +131,28 @@ struct Policy {
 
 enum Reason { R_TIP = 0, R_FORK = 1, R_MERGE = 2, R_MARKED = 3, R_MAXLEN = 4 };
 
-struct Session {
+// ---------------------------------------------------------------------------
+// Backend 1: u64 nodes over the fused cuckoo quotient map (k <= 32)
+
+struct QGraph {
+    typedef uint64_t Node;
+    struct NodeHash { size_t operator()(uint64_t v) const { return std::hash<uint64_t>()(v); } };
+
     const uint64_t* slots;
     int32_t log_size;
     const uint64_t* stash_keys;
     const uint16_t* stash_pay;
     int32_t n_stash;
     int32_t k;
-    Policy pol;
-    std::unordered_set<uint64_t> marked;  // canonical k-mers
-
     uint64_t kmask;   // (1 << 2k) - 1
     uint64_t qmask;   // (1 << 2(k-1)) - 1
+
+    void init(int kk)
+    {
+        k = kk;
+        kmask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+        qmask = (1ULL << (2 * (k - 1))) - 1;
+    }
 
     // -- fused-map probe (traversal.py GraphView._payload_int) -------------
     inline uint32_t payload(uint64_t key) const
@@ -142,7 +168,6 @@ struct Session {
             if ((v & 1024) && (v >> 11) == (h & rem_mask) && (((v >> 9) & 1) == (uint64_t)i))
                 return (uint32_t)(v & 0x1FF);
         }
-        // stash: sorted keys, binary search
         int lo = 0, hi = n_stash;
         while (lo < hi)
         {
@@ -167,9 +192,8 @@ struct Session {
         return q == cq ? ((pay >> 4) & 0xF) : shuffle02(pay & 0xF);
     }
 
-    // successor/predecessor sets; nts/nodes filled in nt order 0..3 like the
-    // python engine (deterministic queue push order)
-    inline int successors(uint64_t fwd, int* nts, uint64_t* nodes) const
+    // nts/nodes filled in nt order 0..3 like the python engine
+    inline int successors(Node fwd, int* nts, Node* nodes) const
     {
         uint32_t ext = ext_bits(fwd & qmask);
         int n = 0;
@@ -178,7 +202,7 @@ struct Session {
         return n;
     }
 
-    inline int predecessors(uint64_t fwd, uint64_t* nodes) const
+    inline int predecessors(Node fwd, Node* nodes) const
     {
         uint32_t pre = pre_bits(fwd >> 2);
         int n = 0;
@@ -188,52 +212,228 @@ struct Session {
         return n;
     }
 
-    inline int n_succ(uint64_t fwd) const { return __builtin_popcount(ext_bits(fwd & qmask)); }
-    inline int n_pred(uint64_t fwd) const { return __builtin_popcount(pre_bits(fwd >> 2)); }
+    inline int n_succ(Node fwd) const { return __builtin_popcount(ext_bits(fwd & qmask)); }
+    inline int n_pred(Node fwd) const { return __builtin_popcount(pre_bits(fwd >> 2)); }
 
-    inline bool is_branching(uint64_t fwd) const
+    inline bool is_branching(Node fwd) const
     {
         return n_succ(fwd) != 1 || n_pred(fwd) != 1;
     }
 
-    inline void mark(uint64_t fwd) { marked.insert(canonical_u64(fwd, k)); }
-    inline bool is_marked(uint64_t fwd) const
-    {
-        return marked.count(canonical_u64(fwd, k)) != 0;
-    }
+    inline Node canonical(Node fwd) const { return canonical_u64(fwd, k); }
 
-    void kmer_str(uint64_t x, std::string& out) const
+    void kmer_str(Node x, std::string& out) const
     {
         for (int i = k - 1; i >= 0; i--) out.push_back(ALPHA[(x >> (2 * i)) & 3]);
     }
 };
 
 // ---------------------------------------------------------------------------
-// _find_end_of_branching: frontline BFS from a branching node until the
-// frontline collapses to one node. Fails on external in-branching, dead /
-// too-wide frontlines, depth cap, or (explore_marked_fail) marked frontier.
-struct BranchEnd { uint64_t end; int depth; std::vector<uint64_t> involved; };
+// Backend 2: multi-word nodes (MSW-first, ops/span.py layout, k <= 256)
+// over the sorted big-endian solid key blob — binary-search membership.
 
-static bool find_end_of_branching(const Session& S, uint64_t start, BranchEnd& out)
+const int MAXW = 8;
+
+struct N256 {
+    uint64_t w[MAXW];  // w[0] = most significant; unused trailing words = 0
+    bool operator==(const N256& o) const
+    {
+        for (int i = 0; i < MAXW; i++) if (w[i] != o.w[i]) return false;
+        return true;
+    }
+    bool operator<(const N256& o) const
+    {
+        for (int i = 0; i < MAXW; i++)
+        {
+            if (w[i] < o.w[i]) return true;
+            if (w[i] > o.w[i]) return false;
+        }
+        return false;
+    }
+};
+
+struct SpanGraph {
+    typedef N256 Node;
+    struct NodeHash {
+        size_t operator()(const N256& n) const
+        {
+            uint64_t h = 0x9E3779B97F4A7C15ULL;
+            for (int i = 0; i < MAXW; i++) { h ^= n.w[i]; h *= 0xC2B2AE3D27D4EB4FULL; h ^= h >> 29; }
+            return (size_t)h;
+        }
+    };
+
+    const uint8_t* keys_be;  // sorted big-endian rows, 8*W bytes each
+    int64_t n_keys;
+    int32_t k;
+    int32_t W;               // words per k-mer = ceil(k/32)
+    int32_t top_bits;        // 2k - 64*(W-1), bits used in w[0]
+    uint64_t top_mask;
+
+    void init(int kk)
+    {
+        k = kk;
+        W = (k + 31) / 32;
+        top_bits = 2 * k - 64 * (W - 1);
+        top_mask = (top_bits >= 64) ? ~0ULL : ((1ULL << top_bits) - 1);
+    }
+
+    // -- multi-word ops -----------------------------------------------------
+    inline Node append(const Node& u, int nt) const  // (u << 2 | nt) & kmask
+    {
+        Node v{};
+        for (int i = 0; i < W - 1; i++) v.w[i] = (u.w[i] << 2) | (u.w[i + 1] >> 62);
+        v.w[W - 1] = (u.w[W - 1] << 2) | (uint64_t)nt;
+        v.w[0] &= top_mask;
+        return v;
+    }
+
+    inline Node prepend(const Node& u, int nt) const  // (u >> 2) | nt << (2k-2)
+    {
+        Node v{};
+        for (int i = W - 1; i > 0; i--) v.w[i] = (u.w[i] >> 2) | (u.w[i - 1] << 62);
+        v.w[0] = u.w[0] >> 2;
+        v.w[0] |= (uint64_t)nt << (top_bits - 2);
+        return v;
+    }
+
+    inline int last_base(const Node& u) const { return (int)(u.w[W - 1] & 3); }
+    inline int top_base(const Node& u) const { return (int)((u.w[0] >> (top_bits - 2)) & 3); }
+
+    inline Node revcomp(const Node& u) const
+    {
+        // reverse+complement all 64W bits word-reversed, then shift right
+        // by the 64W - 2k padding
+        Node r{};
+        for (int i = 0; i < W; i++) r.w[i] = rc_word64(u.w[W - 1 - i]);
+        int rshift = 64 * W - 2 * k;
+        if (rshift)
+        {
+            for (int i = W - 1; i > 0; i--)
+                r.w[i] = (r.w[i] >> rshift) | (r.w[i - 1] << (64 - rshift));
+            r.w[0] >>= rshift;
+        }
+        return r;
+    }
+
+    inline Node canonical(const Node& u) const
+    {
+        Node rc = revcomp(u);
+        return rc < u ? rc : u;
+    }
+
+    inline bool contains_canon(const Node& c) const
+    {
+        uint8_t q[MAXW * 8];
+        for (int i = 0; i < W; i++)
+        {
+            uint64_t be = __builtin_bswap64(c.w[i]);
+            std::memcpy(q + 8 * i, &be, 8);
+        }
+        const size_t row = 8 * (size_t)W;
+        int64_t lo = 0, hi = n_keys;
+        while (lo < hi)
+        {
+            int64_t mid = (lo + hi) >> 1;
+            if (std::memcmp(keys_be + row * mid, q, row) < 0) lo = mid + 1;
+            else hi = mid;
+        }
+        return lo < n_keys && std::memcmp(keys_be + row * lo, q, row) == 0;
+    }
+
+    inline bool contains(const Node& u) const { return contains_canon(canonical(u)); }
+
+    inline int successors(const Node& fwd, int* nts, Node* nodes) const
+    {
+        int n = 0;
+        for (int nt = 0; nt < 4; nt++)
+        {
+            Node v = append(fwd, nt);
+            if (contains(v)) { nts[n] = nt; nodes[n] = v; n++; }
+        }
+        return n;
+    }
+
+    inline int predecessors(const Node& fwd, Node* nodes) const
+    {
+        int n = 0;
+        for (int nt = 0; nt < 4; nt++)
+        {
+            Node v = prepend(fwd, nt);
+            if (contains(v)) nodes[n++] = v;
+        }
+        return n;
+    }
+
+    inline int n_succ(const Node& fwd) const
+    {
+        int nts[4]; Node nodes[4];
+        return successors(fwd, nts, nodes);
+    }
+    inline int n_pred(const Node& fwd) const
+    {
+        Node nodes[4];
+        return predecessors(fwd, nodes);
+    }
+    inline bool is_branching(const Node& fwd) const
+    {
+        return n_succ(fwd) != 1 || n_pred(fwd) != 1;
+    }
+
+    void kmer_str(const Node& x, std::string& out) const
+    {
+        for (int i = k - 1; i >= 0; i--)
+        {
+            int word = W - 1 - i / 32;
+            int off = 2 * (i % 32);
+            out.push_back(ALPHA[(x.w[word] >> off) & 3]);
+        }
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Templated algorithm core (bit-exact port of fill/traversal.py)
+
+template <class G>
+struct Sess {
+    G g;
+    Policy pol;
+    std::unordered_set<typename G::Node, typename G::NodeHash> marked;
+
+    inline void mark(const typename G::Node& n) { marked.insert(g.canonical(n)); }
+    inline bool is_marked(const typename G::Node& n) const
+    {
+        return marked.count(g.canonical(n)) != 0;
+    }
+};
+
+// _find_end_of_branching: frontline BFS from a branching node until the
+// frontline collapses to one node.
+template <class G>
+struct BranchEnd { typename G::Node end; int depth; std::vector<typename G::Node> involved; };
+
+template <class G>
+static bool find_end_of_branching(const Sess<G>& S, const typename G::Node& start, BranchEnd<G>& out)
 {
+    typedef typename G::Node Node;
     const Policy& P = S.pol;
-    std::unordered_set<uint64_t> already;
-    already.insert(canonical_u64(start, S.k));
-    int nts[4]; uint64_t nodes[4], preds[4];
-    std::vector<uint64_t> frontline;
-    int n = S.successors(start, nts, nodes);
+    std::unordered_set<Node, typename G::NodeHash> already;
+    already.insert(S.g.canonical(start));
+    int nts[4]; Node nodes[4], preds[4];
+    std::vector<Node> frontline;
+    int n = S.g.successors(start, nts, nodes);
     for (int i = 0; i < n; i++)
     {
         frontline.push_back(nodes[i]);
-        already.insert(canonical_u64(nodes[i], S.k));
+        already.insert(S.g.canonical(nodes[i]));
     }
     if (P.explore_marked_fail)
-        for (uint64_t f : frontline)
+        for (const Node& f : frontline)
             if (S.is_marked(f)) return false;
-    std::vector<uint64_t> involved = frontline;
+    std::vector<Node> involved = frontline;
     int depth = 1;
-    std::vector<uint64_t> new_frontline;
-    std::unordered_set<uint64_t> seen_new;
+    std::vector<Node> new_frontline;
+    std::unordered_set<Node, typename G::NodeHash> seen_new;
     while (depth < P.bubble_max_depth)
     {
         if (frontline.empty()) return false;
@@ -247,18 +447,18 @@ static bool find_end_of_branching(const Session& S, uint64_t start, BranchEnd& o
         if ((int)frontline.size() > P.bubble_max_breadth) return false;
         new_frontline.clear();
         seen_new.clear();
-        for (uint64_t node : frontline)
+        for (const Node& node : frontline)
         {
-            int ns = S.successors(node, nts, nodes);
+            int ns = S.g.successors(node, nts, nodes);
             for (int i = 0; i < ns; i++)
             {
-                uint64_t nxt = nodes[i];
+                Node nxt = nodes[i];
                 // external in-branching check
-                int np = S.predecessors(nxt, preds);
+                int np = S.g.predecessors(nxt, preds);
                 for (int j = 0; j < np; j++)
-                    if (!already.count(canonical_u64(preds[j], S.k))) return false;
+                    if (!already.count(S.g.canonical(preds[j]))) return false;
                 if (P.explore_marked_fail && S.is_marked(nxt)) return false;
-                uint64_t c = canonical_u64(nxt, S.k);
+                Node c = S.g.canonical(nxt);
                 if (already.count(c)) continue;
                 already.insert(c);
                 seen_new.insert(c);
@@ -274,32 +474,34 @@ static bool find_end_of_branching(const Session& S, uint64_t start, BranchEnd& o
 
 // _reverse_collapse_ok: reverse frontline BFS admissibility test for
 // crossing a pure merge (policy.merge_reverse_check).
-static bool reverse_collapse_ok(const Session& S, uint64_t node)
+template <class G>
+static bool reverse_collapse_ok(const Sess<G>& S, const typename G::Node& node)
 {
+    typedef typename G::Node Node;
     const Policy& P = S.pol;
-    std::unordered_set<uint64_t> already;
-    already.insert(canonical_u64(node, S.k));
-    uint64_t preds[4];
-    std::vector<uint64_t> frontline;
-    int np = S.predecessors(node, preds);
+    std::unordered_set<Node, typename G::NodeHash> already;
+    already.insert(S.g.canonical(node));
+    Node preds[4];
+    std::vector<Node> frontline;
+    int np = S.g.predecessors(node, preds);
     for (int i = 0; i < np; i++)
     {
         frontline.push_back(preds[i]);
-        already.insert(canonical_u64(preds[i], S.k));
+        already.insert(S.g.canonical(preds[i]));
     }
     int depth = 1;
-    std::vector<uint64_t> new_frontline;
+    std::vector<Node> new_frontline;
     while (depth < P.bubble_max_depth)
     {
         if (frontline.size() <= 1) return true;
         if ((int)frontline.size() > P.bubble_max_breadth) return false;
         new_frontline.clear();
-        for (uint64_t n : frontline)
+        for (const Node& n : frontline)
         {
-            int k2 = S.predecessors(n, preds);
+            int k2 = S.g.predecessors(n, preds);
             for (int i = 0; i < k2; i++)
             {
-                uint64_t c = canonical_u64(preds[i], S.k);
+                Node c = S.g.canonical(preds[i]);
                 if (already.count(c)) continue;
                 already.insert(c);
                 new_frontline.push_back(preds[i]);
@@ -313,17 +515,20 @@ static bool reverse_collapse_ok(const Session& S, uint64_t node)
 
 // _all_paths_between: all nt strings start -> end of length <= max_depth;
 // returns false when the path count exceeds max_breadth (fail).
-static bool all_paths_between(const Session& S, uint64_t start, uint64_t end,
+template <class G>
+static bool all_paths_between(const Sess<G>& S, const typename G::Node& start,
+                              const typename G::Node& end,
                               int max_depth, int max_breadth,
                               std::vector<std::string>& out)
 {
+    typedef typename G::Node Node;
     out.clear();
-    std::vector<std::pair<uint64_t, std::string>> stack;
+    std::vector<std::pair<Node, std::string>> stack;
     stack.emplace_back(start, std::string());
-    int nts[4]; uint64_t nodes[4];
+    int nts[4]; Node nodes[4];
     while (!stack.empty())
     {
-        uint64_t node = stack.back().first;
+        Node node = stack.back().first;
         std::string s = std::move(stack.back().second);
         stack.pop_back();
         if (node == end && !s.empty())
@@ -333,7 +538,7 @@ static bool all_paths_between(const Session& S, uint64_t start, uint64_t end,
             continue;
         }
         if ((int)s.size() >= max_depth) continue;
-        int n = S.successors(node, nts, nodes);
+        int n = S.g.successors(node, nts, nodes);
         for (int i = 0; i < n; i++)
         {
             std::string t = s;
@@ -345,10 +550,12 @@ static bool all_paths_between(const Session& S, uint64_t start, uint64_t end,
 }
 
 // _explore_branching: cross a tip/clean bubble -> (consensus, end) or fail.
-static bool explore_branching(Session& S, uint64_t node, std::string& consensus, uint64_t& end)
+template <class G>
+static bool explore_branching(Sess<G>& S, const typename G::Node& node,
+                              std::string& consensus, typename G::Node& end)
 {
     const Policy& P = S.pol;
-    BranchEnd be;
+    BranchEnd<G> be;
     if (!find_end_of_branching(S, node, be)) return false;
     std::vector<std::string> paths;
     if (!all_paths_between(S, node, be.end, be.depth + 1, P.bubble_max_breadth, paths))
@@ -362,8 +569,8 @@ static bool explore_branching(Session& S, uint64_t node, std::string& consensus,
                     < (double)P.consensus_identity)
                     return false;
     consensus = *std::min_element(paths.begin(), paths.end());
-    for (uint64_t n : be.involved)
-        if (S.is_branching(n)) S.mark(n);
+    for (const typename G::Node& n : be.involved)
+        if (S.g.is_branching(n)) S.mark(n);
     end = be.end;
     return true;
 }
@@ -371,16 +578,18 @@ static bool explore_branching(Session& S, uint64_t node, std::string& consensus,
 // traverse_right: the composed host_walk + per-event automaton of
 // fill/traversal.py traverse_right_co driven by host_walk — one function,
 // identical control flow.
-static void traverse_right(Session& S, uint64_t start, int64_t maxlen,
-                           std::string& seq, uint64_t& node_out, int& reason_out)
+template <class G>
+static void traverse_right(Sess<G>& S, const typename G::Node& start, int64_t maxlen,
+                           std::string& seq, typename G::Node& node_out, int& reason_out)
 {
+    typedef typename G::Node Node;
     const Policy& P = S.pol;
     seq.clear();
-    S.kmer_str(start, seq);
-    int64_t slen = S.k;
-    uint64_t node = start;
+    S.g.kmer_str(start, seq);
+    int64_t slen = S.g.k;
+    Node node = start;
     int reason = R_MAXLEN;
-    int nts[4]; uint64_t nodes[4];
+    int nts[4]; Node nodes[4];
     while (slen < maxlen)
     {
         // -- host_walk: extend a pure simple path within budget -------------
@@ -389,12 +598,12 @@ static void traverse_right(Session& S, uint64_t start, int64_t maxlen,
         int64_t walked = 0;
         while (walked < budget)
         {
-            int ns = S.successors(node, nts, nodes);
+            int ns = S.g.successors(node, nts, nodes);
             if (ns == 0) { wreason = 0; break; }
             if (ns > 1) { wreason = 1; break; }
-            uint64_t nxt = nodes[0];
-            if (S.n_pred(nxt) != 1) { wreason = 1; break; }
-            if (S.n_succ(nxt) != 1) { wreason = 1; break; }
+            Node nxt = nodes[0];
+            if (S.g.n_pred(nxt) != 1) { wreason = 1; break; }
+            if (S.g.n_succ(nxt) != 1) { wreason = 1; break; }
             seq.push_back(ALPHA[nts[0]]);
             walked++;
             node = nxt;
@@ -403,15 +612,15 @@ static void traverse_right(Session& S, uint64_t start, int64_t maxlen,
         if (wreason == 2) break;            // budget: reason stays maxlen
         if (wreason == 0) { reason = R_TIP; break; }
         // -- event: replay ONE iteration of the reference loop body ---------
-        int ns = S.successors(node, nts, nodes);
+        int ns = S.g.successors(node, nts, nodes);
         if (ns == 0) { reason = R_TIP; break; }  // unreachable, kept for safety
         bool in_branch = ns > 1
-            || (P.in_branch_stop && S.n_pred(nodes[0]) > 1);
+            || (P.in_branch_stop && S.g.n_pred(nodes[0]) > 1);
         if (in_branch)
         {
             bool crossed = false;
             std::string cons;
-            uint64_t cend = 0;
+            Node cend{};
             bool merge_only = ns == 1;
             bool admissible = true;
             if (merge_only && P.merge_reverse_check)
@@ -429,8 +638,8 @@ static void traverse_right(Session& S, uint64_t start, int64_t maxlen,
             node = cend;
             continue;
         }
-        uint64_t nxt = nodes[0];
-        if (S.is_branching(nxt))
+        Node nxt = nodes[0];
+        if (S.g.is_branching(nxt))
         {
             if (P.stop_at_marked && S.is_marked(nxt)) { reason = R_MARKED; break; }
             if (P.passed_branch_mark) S.mark(nxt);
@@ -443,7 +652,8 @@ static void traverse_right(Session& S, uint64_t start, int64_t maxlen,
     reason_out = reason;
 }
 
-static bool swf_hit(const Session& S, const std::string& seq, const char* R, int64_t rlen)
+template <class G>
+static bool swf_hit(const Sess<G>& S, const std::string& seq, const char* R, int64_t rlen)
 {
     const Policy& P = S.pol;
     if (P.swf_mode == 0 || rlen == 0) return false;
@@ -452,27 +662,30 @@ static bool swf_hit(const Session& S, const std::string& seq, const char* R, int
     if (P.swf_mode == 2)  // seq_in_r
         return std::string(R, rlen).find(seq) != std::string::npos;
     // anchor_in_seq: any k-window of R at stride k found in seq
-    for (int64_t i = 0; i + S.k <= rlen; i += S.k)
-        if (seq.find(std::string(R + i, S.k)) != std::string::npos) return true;
+    for (int64_t i = 0; i + S.g.k <= rlen; i += S.g.k)
+        if (seq.find(std::string(R + i, S.g.k)) != std::string::npos) return true;
     return false;
 }
 
 // construct_linear_seqs: the full per-job BFS (traversal.py
 // construct_linear_seqs_co), contigs appended in emission order.
-static void construct_linear_seqs(Session& S, uint64_t start, const char* R, int64_t rlen,
+template <class G>
+static void construct_linear_seqs(Sess<G>& S, const typename G::Node& start,
+                                  const char* R, int64_t rlen,
                                   int64_t max_depth, int64_t max_nodes, int swf,
                                   std::vector<std::string>& contigs)
 {
+    typedef typename G::Node Node;
     const Policy& P = S.pol;
     S.marked.clear();
-    std::deque<std::pair<uint64_t, int64_t>> queue;
+    std::deque<std::pair<Node, int64_t>> queue;
     queue.emplace_back(start, 0);
     contigs.clear();
-    int nts[4]; uint64_t nodes[4];
+    int nts[4]; Node nodes[4];
     std::string seq;
     while (!queue.empty())
     {
-        uint64_t cur;
+        Node cur;
         int64_t depth;
         if (P.lifo) { cur = queue.back().first; depth = queue.back().second; queue.pop_back(); }
         else { cur = queue.front().first; depth = queue.front().second; queue.pop_front(); }
@@ -482,13 +695,13 @@ static void construct_linear_seqs(Session& S, uint64_t start, const char* R, int
             if (P.skip_marked_start == 1)            // "kmer"
             {
                 seq.clear();
-                S.kmer_str(cur, seq);
+                S.g.kmer_str(cur, seq);
                 contigs.push_back(seq);
                 bool hit = swf != 0 && swf_hit(S, seq, R, rlen);
                 if (hit && !P.swf_noextend) break;
                 if (P.marked_start_push)
                 {
-                    int n = S.successors(cur, nts, nodes);
+                    int n = S.g.successors(cur, nts, nodes);
                     for (int i = 0; i < n; i++)
                         queue.emplace_back(nodes[i], depth + (int64_t)seq.size());
                 }
@@ -496,54 +709,73 @@ static void construct_linear_seqs(Session& S, uint64_t start, const char* R, int
             }
             // "no": fall through to a normal extension
         }
-        if (P.start_mark && S.is_branching(cur)) S.mark(cur);
-        uint64_t last;
+        if (P.start_mark && S.g.is_branching(cur)) S.mark(cur);
+        Node last{};
         int reason;
         traverse_right(S, cur, max_depth, seq, last, reason);
         contigs.push_back(seq);
         bool hit = swf != 0 && swf_hit(S, seq, R, rlen);
         if (hit && !P.swf_noextend) break;
         int64_t new_depth = depth + (P.depth_with_kmer ? (int64_t)seq.size()
-                                                       : (int64_t)seq.size() - S.k);
+                                                       : (int64_t)seq.size() - S.g.k);
         if (P.max_nodes_strict) { if ((int64_t)contigs.size() >= max_nodes) break; }
         else if ((int64_t)contigs.size() > max_nodes) break;
         if (new_depth > max_depth) continue;
         if (hit && P.swf_noextend) continue;
         if (reason == R_MARKED && !P.push_on_marked_stop) continue;
-        int n = S.successors(last, nts, nodes);
+        int n = S.g.successors(last, nts, nodes);
         for (int i = 0; i < n; i++) queue.emplace_back(nodes[i], new_depth);
     }
 }
+
+template <class G>
+static int64_t pack_contigs(const std::vector<std::string>& contigs, char* out, int64_t cap)
+{
+    int64_t total = 0;
+    for (const std::string& c : contigs) total += (int64_t)c.size() + 1;
+    if (total > cap) return -total;
+    int64_t pos = 0;
+    for (const std::string& c : contigs)
+    {
+        std::memcpy(out + pos, c.data(), c.size());
+        pos += (int64_t)c.size();
+        out[pos++] = '\n';
+    }
+    return total;
+}
+
+typedef Sess<QGraph> QSess;
+typedef Sess<SpanGraph> SpanSess;
 
 }  // namespace
 
 // ---------------------------------------------------------------------------
 extern "C" {
 
+// ---- u64 / quotient-map sessions (k <= 32) --------------------------------
+
 void* mtg_tsession_new(const uint64_t* slots, int32_t log_size,
                        const uint64_t* stash_keys, const uint16_t* stash_pay,
                        int32_t n_stash, int32_t k, const int32_t* policy)
 {
-    Session* s = new Session();
-    s->slots = slots;
-    s->log_size = log_size;
-    s->stash_keys = stash_keys;
-    s->stash_pay = stash_pay;
-    s->n_stash = n_stash;
-    s->k = k;
+    QSess* s = new QSess();
+    s->g.slots = slots;
+    s->g.log_size = log_size;
+    s->g.stash_keys = stash_keys;
+    s->g.stash_pay = stash_pay;
+    s->g.n_stash = n_stash;
+    s->g.init(k);
     std::memcpy(&s->pol, policy, sizeof(Policy));
-    s->kmask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
-    s->qmask = (1ULL << (2 * (k - 1))) - 1;
     return s;
 }
 
-void mtg_tsession_free(void* sp) { delete (Session*)sp; }
+void mtg_tsession_free(void* sp) { delete (QSess*)sp; }
 
-void mtg_tsession_reset_marks(void* sp) { ((Session*)sp)->marked.clear(); }
+void mtg_tsession_reset_marks(void* sp) { ((QSess*)sp)->marked.clear(); }
 
 void mtg_tsession_set_policy(void* sp, const int32_t* policy)
 {
-    std::memcpy(&((Session*)sp)->pol, policy, sizeof(Policy));
+    std::memcpy(&((QSess*)sp)->pol, policy, sizeof(Policy));
 }
 
 // One right extension. Returns bytes written to out (or -(needed) when cap
@@ -551,7 +783,7 @@ void mtg_tsession_set_policy(void* sp, const int32_t* policy)
 int64_t mtg_traverse_right(void* sp, uint64_t start, int64_t maxlen,
                            char* out, int64_t cap, uint64_t* end_node, int32_t* reason)
 {
-    Session& S = *(Session*)sp;
+    QSess& S = *(QSess*)sp;
     std::string seq;
     uint64_t node;
     int r;
@@ -570,20 +802,63 @@ int64_t mtg_construct_linear_seqs(void* sp, uint64_t start,
                                   int64_t max_depth, int64_t max_nodes, int32_t swf,
                                   char* out, int64_t cap)
 {
-    Session& S = *(Session*)sp;
+    QSess& S = *(QSess*)sp;
     std::vector<std::string> contigs;
     construct_linear_seqs(S, start, R, rlen, max_depth, max_nodes, swf, contigs);
-    int64_t total = 0;
-    for (const std::string& c : contigs) total += (int64_t)c.size() + 1;
-    if (total > cap) return -total;
-    int64_t pos = 0;
-    for (const std::string& c : contigs)
-    {
-        std::memcpy(out + pos, c.data(), c.size());
-        pos += (int64_t)c.size();
-        out[pos++] = '\n';
-    }
-    return total;
+    return pack_contigs<QGraph>(contigs, out, cap);
+}
+
+// ---- span sessions (32 < k <= 256, sorted big-endian key blob) ------------
+
+void* mtg_tsession_new_span(const uint8_t* keys_be, int64_t n_keys,
+                            int32_t k, const int32_t* policy)
+{
+    SpanSess* s = new SpanSess();
+    s->g.keys_be = keys_be;
+    s->g.n_keys = n_keys;
+    s->g.init(k);
+    std::memcpy(&s->pol, policy, sizeof(Policy));
+    return s;
+}
+
+void mtg_tsession_free_span(void* sp) { delete (SpanSess*)sp; }
+
+void mtg_tsession_reset_marks_span(void* sp) { ((SpanSess*)sp)->marked.clear(); }
+
+void mtg_tsession_set_policy_span(void* sp, const int32_t* policy)
+{
+    std::memcpy(&((SpanSess*)sp)->pol, policy, sizeof(Policy));
+}
+
+// start: W uint64 words, MSW first (ops/span.py row layout)
+int64_t mtg_traverse_right_span(void* sp, const uint64_t* start_words, int64_t maxlen,
+                                char* out, int64_t cap, uint64_t* end_words, int32_t* reason)
+{
+    SpanSess& S = *(SpanSess*)sp;
+    N256 start{};
+    for (int i = 0; i < S.g.W; i++) start.w[i] = start_words[i];
+    std::string seq;
+    N256 node{};
+    int r;
+    traverse_right(S, start, maxlen, seq, node, r);
+    for (int i = 0; i < S.g.W; i++) end_words[i] = node.w[i];
+    *reason = r;
+    if ((int64_t)seq.size() > cap) return -(int64_t)seq.size();
+    std::memcpy(out, seq.data(), seq.size());
+    return (int64_t)seq.size();
+}
+
+int64_t mtg_construct_linear_seqs_span(void* sp, const uint64_t* start_words,
+                                       const char* R, int64_t rlen,
+                                       int64_t max_depth, int64_t max_nodes, int32_t swf,
+                                       char* out, int64_t cap)
+{
+    SpanSess& S = *(SpanSess*)sp;
+    N256 start{};
+    for (int i = 0; i < S.g.W; i++) start.w[i] = start_words[i];
+    std::vector<std::string> contigs;
+    construct_linear_seqs(S, start, R, rlen, max_depth, max_nodes, swf, contigs);
+    return pack_contigs<SpanGraph>(contigs, out, cap);
 }
 
 }  // extern "C"
