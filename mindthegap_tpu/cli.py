@@ -68,7 +68,7 @@ FILL_OPTIONS = {
     "max-nodes": (True, "100", "maximum number of nodes in contig graph (nt)", True),
     "max-length": (True, "10000", "maximum length of insertions (nt)", True),
     "fwd-only": (False, None, "do not try in reverse direction if no inserted sequence is assembled (bkpt mode)", True),
-    "fill-engine": (True, "auto", "gap-fill walk engine: auto | host | device | device-qb", False),
+    "fill-engine": (True, "auto", "gap-fill walk engine: auto (native C++ when available) | native | host | device | device-qb", False),
     "count-engine": (True, "auto", "k-mer counting engine: auto | host | device | sharded | partitioned", False),
     "nb-cores": (True, "0", "number of cores", True),
     "max-disk": (True, "0", "max disk for graph building   (in MBytes)", True),
