@@ -87,6 +87,12 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: int =
     present and the sets fit the k<=32 device path; switches to sharded-mem
     when the replicated map would exceed the per-chip budget and a mesh is
     available)."""
+    valid_engines = ("auto", "host", "device", "device-qp", "device-qb", "sharded", "sharded-mem")
+    if engine not in valid_engines:
+        raise FinderError(
+            "ERROR: unknown -scan-engine %r (choose from %s)" % (engine, ", ".join(valid_engines))
+        )
+
     def host_fn(codes):
         return scan.compute_planes(codes, k, graph.solid.kmers, repeat_set.kmers)
 
@@ -147,7 +153,7 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: int =
             # cuckoo map's throughput on v5e
             qp = X.build_fused_pair(graph.solid.kmers, k, repeat_set.kmers)
             targs = (
-                jnp.asarray(qp.slots), jnp.asarray(qp.stash_keys),
+                jnp.asarray(X.qp_slots32(qp)), jnp.asarray(qp.stash_keys),
                 jnp.asarray(qp.stash_l), jnp.asarray(qp.stash_r),
             )
             log_param = qp.log_size

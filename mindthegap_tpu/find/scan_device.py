@@ -244,32 +244,35 @@ def compute_planes_device(codes: np.ndarray, k: int, solid_sorted, repeat_sorted
 
 
 @partial(jax.jit, static_argnames=("log_size", "k"))
-def scan_planes_device_qp(codes, slots2, stash_k, stash_l, stash_r, log_size: int, k: int):
+def scan_planes_device_qp(codes, slots32, stash_k, stash_l, stash_r, log_size: int, k: int):
     """Plane pass over the pair-coalesced quotient map (ops/extmap.py QMapP):
-    ONE [1,2]-u64 row lookup per TWO positions — measured cheaper per row
-    than a single u64 gather on v5e, so ~half the q engine's probe cost.
-    One lookup at the shared (k-2)-mer of q_i, q_{i+1} yields both fused
-    payloads, already oriented as-read (see QMapP header math)."""
-    from ..ops import extmap as X
+    ONE row lookup per TWO positions. One lookup at the shared (k-2)-mer of
+    q_i, q_{i+1} yields both fused payloads, already oriented as-read (see
+    QMapP header math).
 
-    qp = X.QMapP(slots2, log_size, k, stash_k, stash_l, stash_r)
+    slots32: the table as u32[S, 4] rows (X.qp_slots32) — the u64[S, 2]
+    layout made XLA split EVERY row gather into separate lo/hi u32 gathers
+    (profiled: 4 gather fusions of 0.194 s each on v5e for a 32-Mbase
+    window); the native u32 layout issues ONE u32[N,4] gather per cuckoo
+    probe, halving the pass's gather count."""
+    from ..ops import extmap as X
 
     fwd, valid = rolling_kmers_device(codes, k)
     p = fwd.shape[0]
     n_pay = p + 1
     n_pairs = (n_pay + 1) // 2
 
-    # Even/odd base columns: the ONLY strided reads, and on the 1-byte
-    # array (stride-2 relayout of u64 streams costs ~150 ms per 8M
-    # elements on v5e; slicing the u8 codes first moves 8x less data).
-    # Everything downstream is contiguous dynamic slices.
+    # Even/odd base columns via a u16 bitcast — pure elementwise. The
+    # previous stride-2 slices (clean_p[0::2]) each compiled to a 16.7M-
+    # index u8 gather costing 0.129 s on v5e (profiled fusion/fusion.1).
     clean = jnp.where(codes == INVALID, 0, codes).astype(jnp.uint8)
     n2 = n_pairs + (k + 1) // 2 + 1
     clean_p = jnp.concatenate(
         [clean, jnp.zeros(2 * n2 - clean.shape[0], jnp.uint8)]
     )
-    col0 = clean_p[0::2].astype(jnp.uint64)  # bases at even positions
-    col1 = clean_p[1::2].astype(jnp.uint64)  # bases at odd positions
+    v16 = jax.lax.bitcast_convert_type(clean_p.reshape(-1, 2), jnp.uint16)
+    col0 = (v16 & jnp.uint16(0xFF)).astype(jnp.uint64)   # bases at even positions
+    col1 = (v16 >> jnp.uint16(8)).astype(jnp.uint64)     # bases at odd positions
 
     # r_m = (k-2)-mer at position 2m+1, assembled from contiguous column
     # slices (base 2m+1+j lives in col_{(1+j)%2}[m + (1+j)//2])
@@ -281,7 +284,7 @@ def scan_planes_device_qp(codes, slots2, stash_k, stash_l, stash_r, log_size: in
         r_asread = (r_asread << jnp.uint64(2)) | jax.lax.dynamic_slice(col, (off,), (n_pairs,))
     canon_r = K.canonical_u64(r_asread, k - 2, jnp)
     strand = r_asread == canon_r
-    l36, r36 = X.lookup_qp(qp, canon_r, xp=jnp)
+    l36, r36 = X.lookup_qp32(slots32, log_size, stash_k, stash_l, stash_r, canon_r)
 
     y = jax.lax.dynamic_slice(col0, (0,), (n_pairs,))
     # base 2m + (k-1): even when k is odd -> col0, else col1
