@@ -267,10 +267,14 @@ def pipeline_step(mesh: Mesh, read_codes: np.ndarray, windows: np.ndarray, solid
 
     runs, ghist = distributed_count_step(mesh, read_codes, k)
     qm = X.build_fused(np.asarray(solid_sorted, np.uint64), k, np.asarray(repeat_sorted, np.uint64))
-    # the CLI's sharded engine rides the pair-coalesced map — exercise the
-    # same path here so the dryrun guards it
+    # the CLI's sharded engine rides the pair-coalesced map through the
+    # persistent group dispatcher — exercise the same path here so the
+    # dryrun guards it (tables placed once, fixed [n_dev, window] shape)
     qp = X.build_fused_pair(np.asarray(solid_sorted, np.uint64), k, np.asarray(repeat_sorted, np.uint64))
-    planes = sharded_scan_qp(mesh, windows, qp, k)
+    dispatch, nd = make_sharded_scan_group_qp(mesh, qp, k, windows.shape[1])
+    group = np.full((nd, windows.shape[1]), 255, np.uint8)
+    group[: min(nd, windows.shape[0])] = windows[:nd]
+    planes = jax.tree.map(np.asarray, dispatch(group))
     n_dev = mesh.devices.size
     nodes = np.asarray(solid_sorted, np.uint64)[: 2 * n_dev]
     budgets = np.full(nodes.shape, 32, np.int32)
