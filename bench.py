@@ -134,7 +134,7 @@ def stage_scan(engine: str):
     g = jnp.asarray(genome)
     if engine == "qp":
         qp = X.build_fused_pair(solid, K, repeat)
-        args = (g, jnp.asarray(X.qp_slots32(qp)), jnp.asarray(qp.stash_keys),
+        args = (g, jnp.asarray(qp.slots), jnp.asarray(qp.stash_keys),
                 jnp.asarray(qp.stash_l), jnp.asarray(qp.stash_r), qp.log_size, K)
         fn = scan_planes_device_qp
     elif engine == "qb":

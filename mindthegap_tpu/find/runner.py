@@ -153,7 +153,7 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: int =
             # cuckoo map's throughput on v5e
             qp = X.build_fused_pair(graph.solid.kmers, k, repeat_set.kmers)
             targs = (
-                jnp.asarray(X.qp_slots32(qp)), jnp.asarray(qp.stash_keys),
+                jnp.asarray(qp.slots), jnp.asarray(qp.stash_keys),
                 jnp.asarray(qp.stash_l), jnp.asarray(qp.stash_r),
             )
             log_param = qp.log_size
@@ -184,15 +184,29 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: int =
 
         import jax
 
-        @jax.jit
-        def scan_group(rows, *tables):
-            return jax.vmap(lambda row: scan_fn(row, *tables, log_param, k))(rows)
+        packed = engine == "device-qp"
+        if packed:
+            from .scan_device import planes_from_pay, scan_pay_device_qp
+
+            @jax.jit
+            def scan_group(rows, *tables):
+                # packed path: only the 2-byte payload stream leaves the
+                # device (~10x less device->host transfer than the plane
+                # tuple); fwd/valid and the plane math run on host
+                # (native extract + ~10 numpy ops), overlapped with the
+                # next group's device compute
+                return jax.vmap(lambda row: scan_pay_device_qp(row, *tables, log_param, k))(rows)
+        else:
+            @jax.jit
+            def scan_group(rows, *tables):
+                return jax.vmap(lambda row: scan_fn(row, *tables, log_param, k))(rows)
 
         def device_fn(codes):
             n = codes.shape[0]
             if n < k:
                 return scan.compute_planes(codes, k, graph.solid.kmers, repeat_set.kmers)
-            outs = {key: [] for key in ("fwd", "valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep")}
+            keys = ("fwd", "valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep")
+            outs = {key: [] for key in keys}
             step = window - halo
             npos = n - k + 1
             takes = []
@@ -203,7 +217,19 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: int =
             nwin = len(takes)
 
             def materialize(res, g0, gn):
-                for key in outs:
+                if packed:
+                    pays = np.asarray(res)
+                    for j in range(gn):
+                        s = (g0 + j) * step
+                        chunk = np.full(window, 255, np.uint8)
+                        part = codes[s : s + window]
+                        chunk[: part.shape[0]] = part
+                        pw = planes_from_pay(pays[j], chunk, k)
+                        take = takes[g0 + j]
+                        for key in keys:
+                            outs[key].append(getattr(pw, key)[:take])
+                    return
+                for key in keys:
                     arr = np.asarray(res[key])
                     for j in range(gn):
                         outs[key].append(arr[j, : takes[g0 + j]])
@@ -226,15 +252,7 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: int =
                 pending = (res, g0, gn)
             if pending is not None:
                 materialize(*pending)
-            return Planes(
-                valid=np.concatenate(outs["valid"]),
-                fwd=np.concatenate(outs["fwd"]),
-                contains=np.concatenate(outs["contains"]),
-                nb_in=np.concatenate(outs["nb_in"]),
-                nb_out=np.concatenate(outs["nb_out"]),
-                suffix_rep=np.concatenate(outs["suffix_rep"]),
-                prefix_rep=np.concatenate(outs["prefix_rep"]),
-            )
+            return Planes(**{key: np.concatenate(outs[key]) for key in keys})
 
         return device_fn
     except Exception as e:

@@ -244,18 +244,17 @@ def compute_planes_device(codes: np.ndarray, k: int, solid_sorted, repeat_sorted
 
 
 @partial(jax.jit, static_argnames=("log_size", "k"))
-def scan_planes_device_qp(codes, slots32, stash_k, stash_l, stash_r, log_size: int, k: int):
+def scan_planes_device_qp(codes, slots2, stash_k, stash_l, stash_r, log_size: int, k: int):
     """Plane pass over the pair-coalesced quotient map (ops/extmap.py QMapP):
     ONE row lookup per TWO positions. One lookup at the shared (k-2)-mer of
     q_i, q_{i+1} yields both fused payloads, already oriented as-read (see
-    QMapP header math).
-
-    slots32: the table as u32[S, 4] rows (X.qp_slots32) — the u64[S, 2]
-    layout made XLA split EVERY row gather into separate lo/hi u32 gathers
-    (profiled: 4 gather fusions of 0.194 s each on v5e for a 32-Mbase
-    window); the native u32 layout issues ONE u32[N,4] gather per cuckoo
-    probe, halving the pass's gather count."""
+    QMapP header math). (XLA emulates each u64[S,2] row gather as two
+    u32[S,2] plane gathers on v5e — profiled at 4 x 0.194 s per 32-Mbase
+    window; a hand-rolled u32[S,4] row layout SIGKILLs the TPU compile
+    helper, so the u64 formulation stays.)"""
     from ..ops import extmap as X
+
+    qp = X.QMapP(slots2, log_size, k, stash_k, stash_l, stash_r)
 
     fwd, valid = rolling_kmers_device(codes, k)
     p = fwd.shape[0]
@@ -284,7 +283,7 @@ def scan_planes_device_qp(codes, slots32, stash_k, stash_l, stash_r, log_size: i
         r_asread = (r_asread << jnp.uint64(2)) | jax.lax.dynamic_slice(col, (off,), (n_pairs,))
     canon_r = K.canonical_u64(r_asread, k - 2, jnp)
     strand = r_asread == canon_r
-    l36, r36 = X.lookup_qp32(slots32, log_size, stash_k, stash_l, stash_r, canon_r)
+    l36, r36 = X.lookup_qp(qp, canon_r, xp=jnp)
 
     y = jax.lax.dynamic_slice(col0, (0,), (n_pairs,))
     # base 2m + (k-1): even when k is odd -> col0, else col1
@@ -316,3 +315,77 @@ def scan_planes_device_qp(codes, slots32, stash_k, stash_l, stash_r, log_size: i
         "suffix_rep": ((pay[1:] >> jnp.uint16(8)) & 1).astype(bool),
         "prefix_rep": ((pay[:p] >> jnp.uint16(8)) & 1).astype(bool),
     }
+
+
+@partial(jax.jit, static_argnames=("log_size", "k"))
+def scan_pay_device_qp(codes, slots2, stash_k, stash_l, stash_r, log_size: int, k: int):
+    """Packed variant of scan_planes_device_qp: returns ONLY the 9-bit fused
+    payload stream pay[j] (u16[P+1], oriented as-read) — 2 bytes/position
+    across the device->host boundary instead of the ~20-byte plane tuple.
+    The host derives contains/nb_in/nb_out/repeat bits from consecutive
+    payloads (planes_from_pay) and rolls fwd/valid itself (native C++
+    extract) — the same math the full kernel fuses, moved to where it is
+    free. The CLI device engine rides this when planes leave the chip."""
+    from ..ops import extmap as X
+
+    qp = X.QMapP(slots2, log_size, k, stash_k, stash_l, stash_r)
+
+    p = codes.shape[0] - k + 1
+    n_pay = p + 1
+    n_pairs = (n_pay + 1) // 2
+
+    clean = jnp.where(codes == INVALID, 0, codes).astype(jnp.uint8)
+    n2 = n_pairs + (k + 1) // 2 + 1
+    clean_p = jnp.concatenate(
+        [clean, jnp.zeros(2 * n2 - clean.shape[0], jnp.uint8)]
+    )
+    col0 = clean_p[0::2].astype(jnp.uint64)
+    col1 = clean_p[1::2].astype(jnp.uint64)
+
+    r_asread = jnp.zeros((n_pairs,), jnp.uint64)
+    for j in range(k - 2):
+        par = (1 + j) & 1
+        off = (1 + j) >> 1
+        col = col1 if par else col0
+        r_asread = (r_asread << jnp.uint64(2)) | jax.lax.dynamic_slice(col, (off,), (n_pairs,))
+    canon_r = K.canonical_u64(r_asread, k - 2, jnp)
+    strand = r_asread == canon_r
+    l36, r36 = X.lookup_qp(qp, canon_r, xp=jnp)
+
+    y = jax.lax.dynamic_slice(col0, (0,), (n_pairs,))
+    if (k - 1) % 2 == 0:
+        x = jax.lax.dynamic_slice(col0, ((k - 1) // 2,), (n_pairs,))
+    else:
+        x = jax.lax.dynamic_slice(col1, ((k - 2) // 2,), (n_pairs,))
+    sub = lambda blk, i4: (blk >> (jnp.uint64(9) * i4)) & jnp.uint64(0x1FF)
+    pay_even = jnp.where(strand, sub(l36, y), X._flip9(sub(r36, y ^ jnp.uint64(2)), jnp))
+    pay_odd = jnp.where(strand, sub(r36, x), X._flip9(sub(l36, x ^ jnp.uint64(2)), jnp))
+    return jnp.stack([pay_even, pay_odd], axis=1).reshape(-1)[:n_pay].astype(jnp.uint16)
+
+
+def planes_from_pay(pay: np.ndarray, codes: np.ndarray, k: int):
+    """Host side of the packed qp path: derive the full Planes from the
+    payload stream (numpy; ~10 vector ops) + native fwd/valid extraction.
+    Bit-identical to scan_planes_device_qp's plane outputs."""
+    from ..ops import extmap as X
+    from .scan import Planes
+
+    fwd, valid = K.kmers_from_codes(codes, k)
+    p = fwd.shape[0]
+    pay = np.asarray(pay, np.uint16)
+    ext_i = (pay[:p] & np.uint16(0xF)).astype(np.uint8)
+    pre_i = ((pay[:p] >> np.uint16(4)) & np.uint16(0xF)).astype(np.uint8)
+    ext_i1 = (pay[1 : p + 1] & np.uint16(0xF)).astype(np.uint8)
+    last_base = np.where(codes[k - 1 :] == INVALID, 0, codes[k - 1 :]).astype(np.uint8)
+    contains = ((ext_i >> last_base) & 1).astype(bool)
+    nb_out = np.where(contains, X._popcount4(ext_i1, np), 0).astype(np.int32)
+    nb_in = np.where(contains, X._popcount4(pre_i, np), 0).astype(np.int32)
+    return Planes(
+        valid=valid,
+        fwd=fwd,
+        contains=contains,
+        nb_in=nb_in,
+        nb_out=nb_out,
+        suffix_rep=((pay[1 : p + 1] >> np.uint16(8)) & 1).astype(bool),
+        prefix_rep=((pay[:p] >> np.uint16(8)) & 1).astype(bool),
+    )

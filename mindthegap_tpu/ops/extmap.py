@@ -1173,52 +1173,6 @@ def _build_fused_pair_native(solid, k, repeat, load_factor):
     return None
 
 
-def qp_slots32(qp: "QMapP") -> np.ndarray:
-    """The pair-map table re-viewed as u32[S, 4] rows for the device path:
-    [lane0_lo, lane0_hi, lane1_lo, lane1_hi] (little-endian u64 split).
-    XLA emulates u64 gathers as TWO u32 gathers per row plane (profiled on
-    v5e: 4 gather fusions per pair lookup); gathering the native u32 rows
-    issues ONE gather per cuckoo probe."""
-    return np.ascontiguousarray(qp.slots).view(np.uint32).reshape(qp.slots.shape[0], 4)
-
-
-def lookup_qp32(slots32, log_size: int, stash_keys, stash_l, stash_r, keys):
-    """Device pair lookup over the u32[S, 4] row layout (qp_slots32): one
-    u32[N, 4] row gather per cuckoo probe; lane reconstruction and select
-    math mirror lookup_qp bit-for-bit. jnp only."""
-    import jax.numpy as jnp
-
-    shift = np.uint64(64 - log_size)
-    rem_mask = (np.uint64(1) << shift) - np.uint64(1)
-    l36 = jnp.zeros(keys.shape, jnp.uint64)
-    r36 = jnp.zeros(keys.shape, jnp.uint64)
-    for i, const in enumerate((_H1, _H2)):
-        h = (keys ^ (keys >> np.uint64(33))) * const
-        h = h ^ (h >> np.uint64(29))
-        slot = (h >> shift).astype(jnp.int32)
-        rows = slots32[slot]  # ONE u32[N,4] row gather
-        lane0 = rows[:, 0].astype(jnp.uint64) | (rows[:, 1].astype(jnp.uint64) << jnp.uint64(32))
-        lane1 = rows[:, 2].astype(jnp.uint64) | (rows[:, 3].astype(jnp.uint64) << jnp.uint64(32))
-        hit = (
-            (((lane0 >> np.uint64(10)) & _QP_REM_MASK) == (h & rem_mask))
-            & ((lane0 & _QP_VALID) != 0)
-            & (((lane0 & _QP_CHOICE) != 0) == (i == 1))
-        )
-        lv = ((lane0 & np.uint64(0xFF)) << np.uint64(28)) | (lane1 >> np.uint64(36))
-        rv = lane1 & _QP_L36
-        l36 = jnp.where(hit, lv, l36)
-        r36 = jnp.where(hit, rv, r36)
-    if int(stash_keys.shape[0]):
-        eq = keys[:, None] == stash_keys[None, :]
-        l36 = l36 | jnp.sum(
-            jnp.where(eq, stash_l[None, :], jnp.zeros((), jnp.uint64)), axis=-1
-        )
-        r36 = r36 | jnp.sum(
-            jnp.where(eq, stash_r[None, :], jnp.zeros((), jnp.uint64)), axis=-1
-        )
-    return l36, r36
-
-
 def lookup_qp(qp: QMapP, canon_keys, xp=np):
     """Pair lookup: 2 [1,2]-row gathers (+ tiny stash pass). Returns
     (L36, R36) u64 arrays (0 for absent buckets)."""

@@ -100,7 +100,7 @@ def make_sharded_scan_group_qp(mesh: Mesh, qp, k: int, window: int):
     win_sharding = NamedSharding(mesh, P(axis, None))
     rep_sharding = NamedSharding(mesh, P())
 
-    slots_d = jax.device_put(jnp.asarray(X.qp_slots32(qp)), rep_sharding)
+    slots_d = jax.device_put(jnp.asarray(qp.slots), rep_sharding)
     sk_d = jax.device_put(jnp.asarray(qp.stash_keys), rep_sharding)
     sl_d = jax.device_put(jnp.asarray(qp.stash_l), rep_sharding)
     sr_d = jax.device_put(jnp.asarray(qp.stash_r), rep_sharding)
@@ -139,7 +139,7 @@ def sharded_scan_qp(mesh: Mesh, windows: np.ndarray, qp, k: int):
     rep_sharding = NamedSharding(mesh, P())
 
     windows_d = jax.device_put(jnp.asarray(windows), win_sharding)
-    slots_d = jax.device_put(jnp.asarray(X.qp_slots32(qp)), rep_sharding)
+    slots_d = jax.device_put(jnp.asarray(qp.slots), rep_sharding)
     sk_d = jax.device_put(jnp.asarray(qp.stash_keys), rep_sharding)
     sl_d = jax.device_put(jnp.asarray(qp.stash_l), rep_sharding)
     sr_d = jax.device_put(jnp.asarray(qp.stash_r), rep_sharding)
