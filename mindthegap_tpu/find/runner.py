@@ -218,13 +218,14 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: int =
 
             def materialize(res, g0, gn):
                 if packed:
-                    pays = np.asarray(res)
+                    pays = np.asarray(res["pay8"])
+                    reps = np.asarray(res["rep8"])
                     for j in range(gn):
                         s = (g0 + j) * step
                         chunk = np.full(window, 255, np.uint8)
                         part = codes[s : s + window]
                         chunk[: part.shape[0]] = part
-                        pw = planes_from_pay(pays[j], chunk, k)
+                        pw = planes_from_pay(pays[j], reps[j], chunk, k)
                         take = takes[g0 + j]
                         for key in keys:
                             outs[key].append(getattr(pw, key)[:take])

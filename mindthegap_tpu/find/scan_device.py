@@ -261,17 +261,20 @@ def scan_planes_device_qp(codes, slots2, stash_k, stash_l, stash_r, log_size: in
     n_pay = p + 1
     n_pairs = (n_pay + 1) // 2
 
-    # Even/odd base columns via a u16 bitcast — pure elementwise. The
-    # previous stride-2 slices (clean_p[0::2]) each compiled to a 16.7M-
-    # index u8 gather costing 0.129 s on v5e (profiled fusion/fusion.1).
+    # Even/odd base columns: the ONLY strided reads, and on the 1-byte
+    # array (stride-2 relayout of u64 streams costs ~150 ms per 8M
+    # elements on v5e; slicing the u8 codes first moves 8x less data).
+    # Everything downstream is contiguous dynamic slices. (Each strided
+    # slice compiles to a 0.129 s u8 gather per 32-Mbase window on v5e —
+    # but the u16-bitcast elementwise alternative blows the TPU compile
+    # past the bench deadline, so the gathers stay.)
     clean = jnp.where(codes == INVALID, 0, codes).astype(jnp.uint8)
     n2 = n_pairs + (k + 1) // 2 + 1
     clean_p = jnp.concatenate(
         [clean, jnp.zeros(2 * n2 - clean.shape[0], jnp.uint8)]
     )
-    v16 = jax.lax.bitcast_convert_type(clean_p.reshape(-1, 2), jnp.uint16)
-    col0 = (v16 & jnp.uint16(0xFF)).astype(jnp.uint64)   # bases at even positions
-    col1 = (v16 >> jnp.uint16(8)).astype(jnp.uint64)     # bases at odd positions
+    col0 = clean_p[0::2].astype(jnp.uint64)  # bases at even positions
+    col1 = clean_p[1::2].astype(jnp.uint64)  # bases at odd positions
 
     # r_m = (k-2)-mer at position 2m+1, assembled from contiguous column
     # slices (base 2m+1+j lives in col_{(1+j)%2}[m + (1+j)//2])
@@ -360,22 +363,33 @@ def scan_pay_device_qp(codes, slots2, stash_k, stash_l, stash_r, log_size: int, 
     sub = lambda blk, i4: (blk >> (jnp.uint64(9) * i4)) & jnp.uint64(0x1FF)
     pay_even = jnp.where(strand, sub(l36, y), X._flip9(sub(r36, y ^ jnp.uint64(2)), jnp))
     pay_odd = jnp.where(strand, sub(r36, x), X._flip9(sub(l36, x ^ jnp.uint64(2)), jnp))
-    return jnp.stack([pay_even, pay_odd], axis=1).reshape(-1)[:n_pay].astype(jnp.uint16)
+    pay = jnp.stack([pay_even, pay_odd], axis=1).reshape(-1)
+    # pad to a multiple of 8 so the repeat bits pack densely
+    n8 = -(-n_pay // 8) * 8
+    pay = jnp.concatenate([pay, jnp.zeros(n8 - 2 * n_pairs if n8 > 2 * n_pairs else 0, jnp.uint64)])[:n8]
+    pay8 = pay.astype(jnp.uint8)  # ext|pre nibbles
+    rep = ((pay >> jnp.uint64(8)) & jnp.uint64(1)).astype(jnp.uint8).reshape(-1, 8)
+    # big-endian bit order, matching np.unpackbits on host
+    w = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    rep8 = (rep * w[None, :]).sum(axis=1).astype(jnp.uint8)
+    return {"pay8": pay8[:n_pay], "rep8": rep8}
 
 
-def planes_from_pay(pay: np.ndarray, codes: np.ndarray, k: int):
+def planes_from_pay(pay8: np.ndarray, rep8: np.ndarray, codes: np.ndarray, k: int):
     """Host side of the packed qp path: derive the full Planes from the
-    payload stream (numpy; ~10 vector ops) + native fwd/valid extraction.
-    Bit-identical to scan_planes_device_qp's plane outputs."""
+    payload byte stream + packed repeat bits (numpy; ~10 vector ops) +
+    native fwd/valid extraction. Bit-identical to scan_planes_device_qp's
+    plane outputs."""
     from ..ops import extmap as X
     from .scan import Planes
 
     fwd, valid = K.kmers_from_codes(codes, k)
     p = fwd.shape[0]
-    pay = np.asarray(pay, np.uint16)
-    ext_i = (pay[:p] & np.uint16(0xF)).astype(np.uint8)
-    pre_i = ((pay[:p] >> np.uint16(4)) & np.uint16(0xF)).astype(np.uint8)
-    ext_i1 = (pay[1 : p + 1] & np.uint16(0xF)).astype(np.uint8)
+    pay8 = np.asarray(pay8, np.uint8)
+    rep = np.unpackbits(np.asarray(rep8, np.uint8))
+    ext_i = pay8[:p] & np.uint8(0xF)
+    pre_i = (pay8[:p] >> np.uint8(4)) & np.uint8(0xF)
+    ext_i1 = pay8[1 : p + 1] & np.uint8(0xF)
     last_base = np.where(codes[k - 1 :] == INVALID, 0, codes[k - 1 :]).astype(np.uint8)
     contains = ((ext_i >> last_base) & 1).astype(bool)
     nb_out = np.where(contains, X._popcount4(ext_i1, np), 0).astype(np.int32)
@@ -386,6 +400,6 @@ def planes_from_pay(pay: np.ndarray, codes: np.ndarray, k: int):
         contains=contains,
         nb_in=nb_in,
         nb_out=nb_out,
-        suffix_rep=((pay[1 : p + 1] >> np.uint16(8)) & 1).astype(bool),
-        prefix_rep=((pay[:p] >> np.uint16(8)) & 1).astype(bool),
+        suffix_rep=rep[1 : p + 1].astype(bool),
+        prefix_rep=rep[:p].astype(bool),
     )
