@@ -50,6 +50,11 @@ class DeviceStreamingCounter:
         self._fill = 0
         self._sorted = np.zeros(0, np.uint64)
         self._counts = np.zeros(0, np.int64)
+        # one in-flight flush: batch g's device arrays materialize while
+        # batch g+1 computes (the device program is ~0.16 s/batch but the
+        # result transfer ~0.35 s through a remote relay — pipelining them
+        # bounds the stream at max(), not sum())
+        self._pending = None
 
     def add_codes(self, codes: np.ndarray):
         codes = np.asarray(codes, np.uint8)
@@ -77,17 +82,22 @@ class DeviceStreamingCounter:
             return
         self._buf[self._fill :] = SEP
         # fused device extract+sort+RLE; only the distinct prefix crosses
-        # the host boundary (~1/coverage of the raw k-mer stream)
+        # the host boundary (~1/coverage of the raw k-mer stream).
         # jnp.array (copy=True) — NEVER jnp.asarray here: on the CPU backend
         # asarray can zero-copy alias the numpy buffer, and the async program
         # would read the post-clobber SEP fill below (silent empty graph).
-        keys_d, counts_d, nd_d = count_batch_device(jnp.array(self._buf), self.k)
-        # Materialize before mutating self._buf as a second line of defense:
-        # once nd_d's value is host-visible the whole fused program (same
-        # executable) has consumed its inputs.
-        nd = int(nd_d)
+        # The copy also makes the async pipeline safe: the device owns its
+        # input snapshot while this buffer refills.
+        dispatched = count_batch_device(jnp.array(self._buf), self.k)
         self._fill = 0
         self._buf[:] = SEP
+        prev, self._pending = self._pending, dispatched
+        if prev is not None:
+            self._merge_done(prev)
+
+    def _merge_done(self, triple):
+        keys_d, counts_d, nd_d = triple
+        nd = int(nd_d)
         if nd == 0:
             return
         u = np.asarray(keys_d[:nd])
@@ -98,6 +108,9 @@ class DeviceStreamingCounter:
         from .counting import HISTOGRAM_MAX, CountResult
 
         self._flush()
+        if self._pending is not None:
+            self._merge_done(self._pending)
+            self._pending = None
         hist = np.zeros(HISTOGRAM_MAX + 1, np.int64)
         clipped = np.minimum(self._counts, HISTOGRAM_MAX)
         np.add.at(hist, clipped, 1)
