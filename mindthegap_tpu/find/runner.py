@@ -458,36 +458,46 @@ def _make_span_plane_fn(engine: str, graph, repeat_set, k: int, host_fn):
         window = 1 << 21
         halo = k - 1
 
+        from .scan_device import planes_from_pay_span, scan_pay_device_q_span
+
         def device_fn(codes):
             n = codes.shape[0]
             if n < k:
                 return host_fn(codes)
-            outs = {key: [] for key in ("fwd_words", "valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep")}
-            pos = 0
+            # packed path: only the payload byte + 2 bit-planes leave the
+            # device (~1.25 B/position vs fwd_words + planes at
+            # 8*ceil(k/32)+10 B); fwd/valid re-extracted host-side.
+            # Double-buffered: window g-1 materializes while g computes.
+            keys = ("fwd", "valid", "contains", "nb_in", "nb_out",
+                    "suffix_rep", "prefix_rep", "fwd_rows")
+            outs = {key: [] for key in keys}
             npos = n - k + 1
+
+            def materialize(res, chunk, take):
+                pw = planes_from_pay_span(
+                    np.asarray(res["pay8"]), np.asarray(res["rep8"]),
+                    np.asarray(res["str8"]), chunk, k,
+                )
+                for key in keys:
+                    outs[key].append(getattr(pw, key)[:take])
+
+            pending = None
+            pos = 0
             while pos < npos:
                 take = min(window - halo, npos - pos)
                 chunk = np.full(window, 255, np.uint8)
                 chunk[: min(take + halo, n - pos)] = codes[pos : pos + take + halo]
-                res = scan_planes_device_q_span(
+                res = scan_pay_device_q_span(
                     jnp.asarray(chunk), d["slots"], d["sat"], d["sk"], d["ss"], d["sv"],
                     qms.salt, qms.log_size, k,
                 )
-                for key in outs:
-                    arr = np.asarray(res[key])
-                    outs[key].append(arr[..., :take])
+                if pending is not None:
+                    materialize(*pending)
+                pending = (res, chunk, take)
                 pos += take
-            fwd_rows = np.concatenate([w.T for w in outs.pop("fwd_words")], axis=0)
-            return Planes(
-                valid=np.concatenate(outs["valid"]),
-                fwd=sp.to_ints(fwd_rows),
-                contains=np.concatenate(outs["contains"]),
-                nb_in=np.concatenate(outs["nb_in"]),
-                nb_out=np.concatenate(outs["nb_out"]),
-                suffix_rep=np.concatenate(outs["suffix_rep"]),
-                prefix_rep=np.concatenate(outs["prefix_rep"]),
-                fwd_rows=fwd_rows,
-            )
+            if pending is not None:
+                materialize(*pending)
+            return Planes(**{key: np.concatenate(outs[key]) for key in keys})
 
         return device_fn
     except Exception as e:

@@ -207,6 +207,68 @@ def scan_planes_device_q_span(codes, slots, sat, stash_k64, stash_sat, stash_v,
     }
 
 
+@partial(jax.jit, static_argnames=("salt", "log_size", "k"))
+def scan_pay_device_q_span(codes, slots, sat, stash_k64, stash_sat, stash_v,
+                           salt: int, log_size: int, k: int):
+    """Packed variant of scan_planes_device_q_span (32 < k <= 256): ships
+    the 8-bit fused payload plus bit-packed repeat and strand planes
+    (~1.25 B/position) instead of fwd_words + plane tuple (8*ceil(k/32)+10
+    B/position) — the span q-layout payload is NOT pre-oriented, so the
+    host needs the canonical-strand bit to orient it (planes_from_pay_span)."""
+    from ..ops import extmap as X
+    from ..ops import span_device as SD
+
+    qm = X.QMapSpan(slots, sat, log_size, salt, stash_k64, stash_sat, stash_v)
+
+    qwords, _qvalid = SD.rolling_span_device(codes, k - 1)
+    canon_q, is_canon = SD.canonical_span_device(qwords, k - 1)
+    pay16 = X.lookup_q_span(qm, canon_q, xp=jnp)
+    n_pay = pay16.shape[0]
+    n8 = -(-n_pay // 8) * 8
+    pad = n8 - n_pay
+    pay16 = jnp.concatenate([pay16, jnp.zeros(pad, pay16.dtype)])
+    strand = jnp.concatenate([is_canon, jnp.zeros(pad, bool)])
+    pay8 = (pay16 & jnp.uint16(0xFF)).astype(jnp.uint8)
+    w = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    rep_bits = ((pay16 >> jnp.uint16(8)) & jnp.uint16(1)).astype(jnp.uint8).reshape(-1, 8)
+    str_bits = strand.astype(jnp.uint8).reshape(-1, 8)
+    rep8 = (rep_bits * w[None, :]).sum(axis=1).astype(jnp.uint8)
+    str8 = (str_bits * w[None, :]).sum(axis=1).astype(jnp.uint8)
+    return {"pay8": pay8[:n_pay], "rep8": rep8, "str8": str8}
+
+
+def planes_from_pay_span(pay8, rep8, str8, codes: np.ndarray, k: int):
+    """Host side of the packed span path: rebuild the full Planes from the
+    payload byte stream + packed repeat/strand bits + local fwd/valid span
+    extraction. Bit-identical to scan_planes_device_q_span's outputs."""
+    from ..ops import extmap as X
+    from ..ops.span import Span
+    from .scan import Planes
+
+    sp = Span(k)
+    fwd_rows, valid = sp.from_codes(codes)
+    p = fwd_rows.shape[0]
+    pay8 = np.asarray(pay8, np.uint8)
+    rep = np.unpackbits(np.asarray(rep8, np.uint8)).astype(bool)
+    is_canon = np.unpackbits(np.asarray(str8, np.uint8)).astype(bool)
+    last_base = np.where(codes[k - 1 :] == INVALID, 0, codes[k - 1 :]).astype(np.uint8)
+    contains, nb_in, nb_out = X.planes_from_payload(
+        pay8[:p], pay8[1 : p + 1], is_canon[:p], is_canon[1 : p + 1], last_base, xp=np
+    )
+    nb_out = np.where(contains, nb_out, 0).astype(np.int32)
+    nb_in = np.where(contains, nb_in, 0).astype(np.int32)
+    return Planes(
+        valid=valid,
+        fwd=sp.to_ints(fwd_rows),
+        contains=contains,
+        nb_in=nb_in,
+        nb_out=nb_out,
+        suffix_rep=rep[1 : p + 1],
+        prefix_rep=rep[:p],
+        fwd_rows=fwd_rows,
+    )
+
+
 def compute_planes_device(codes: np.ndarray, k: int, solid_sorted, repeat_sorted, window: int = 1 << 20):
     """Host wrapper: pads/windows a chromosome, runs the device pass, stitches
     numpy planes identical to find.scan.compute_planes."""
