@@ -328,7 +328,14 @@ class Filler:
                 self.fill_engine = "auto"
                 self.view.enable_native(self.policy)
             lo, hi = shard_bounds(len(jobs), nproc, jax.process_index())
-            local = list(self._run_jobs_local(fn, co_fn, jobs[lo:hi]))
+            # no fork pool inside a jax.distributed process: jax's runtime
+            # threads make os.fork() deadlock-prone, and the native engine
+            # makes per-shard serial execution the fast path anyway
+            saved_cores, self.nb_cores = self.nb_cores, 1
+            try:
+                local = list(self._run_jobs_local(fn, co_fn, jobs[lo:hi]))
+            finally:
+                self.nb_cores = saved_cores
             self.n_local_jobs = len(local)
             for chunk in allgather_object(local):
                 yield from chunk
