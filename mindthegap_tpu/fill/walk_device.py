@@ -136,8 +136,12 @@ class BatchWalker:
     over gap-fill jobs, src/Filler.cpp:824,844; SURVEY.md §2.3 row 2) with
     the fused quotient map replicated on every device."""
 
-    def __init__(self, qmap, k: int, min_lanes: int = 8, steps: int = 64,
-                 max_steps: int = 1024, mesh=None):
+    def __init__(self, qmap, k: int, min_lanes: int = 8, steps: int = 256,
+                 max_steps: int = 2048, mesh=None):
+        # steps default: each dispatch is a fixed relay round trip (~30 ms
+        # remote) while per-step compute is ~2 gathers x lanes (~micro-
+        # seconds) — overshooting steps is nearly free, undershooting
+        # multiplies round trips, so start big and escalate fast
         self.k = k
         self.layout = "bucket" if isinstance(qmap, X.QMapB) else "cuckoo"
         self.log_size = qmap.log_nb if self.layout == "bucket" else qmap.log_size

@@ -312,3 +312,64 @@ def test_pair_payload_stream_matches_q():
     )
     pair = X.pair_payload_stream(qp, codes, n_pay)
     assert (pair == oracle).all()
+
+
+def test_packed_pay_matches_full_planes():
+    """scan_pay_device_qp + planes_from_pay must equal scan_planes_device_qp
+    plane-for-plane (the packed path is what the CLI ships over the
+    device->host boundary)."""
+    import jax.numpy as jnp
+
+    from mindthegap_tpu.find.scan_device import (
+        planes_from_pay, scan_pay_device_qp, scan_planes_device_qp,
+    )
+    from mindthegap_tpu.ops import extmap as X
+    from mindthegap_tpu.ops import kmers as K
+
+    rng = np.random.default_rng(12)
+    k = 21
+    codes = rng.integers(0, 5, size=5000).astype(np.uint8)
+    codes[codes == 4] = 255  # sprinkle invalid bases
+    fwd, valid = K.kmers_from_codes(np.where(codes == 255, 0, codes), k)
+    solid = np.unique(K.canonical_u64(fwd[valid[: fwd.size]] if valid.size else fwd, k))
+    repeat = np.unique(K.canonical_u64(fwd[:200] & K.kmer_mask(k - 1), k - 1))
+    qp = X.build_fused_pair(solid, k, repeat)
+    targs = (jnp.asarray(qp.slots), jnp.asarray(qp.stash_keys),
+             jnp.asarray(qp.stash_l), jnp.asarray(qp.stash_r), qp.log_size, k)
+    g = jnp.asarray(codes)
+    full = scan_planes_device_qp(g, *targs)
+    res = scan_pay_device_qp(g, *targs)
+    pw = planes_from_pay(np.asarray(res["pay8"]), np.asarray(res["rep8"]), codes, k)
+    for key in ("valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep", "fwd"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pw, key)), np.asarray(full[key]), err_msg=key
+        )
+
+
+def test_packed_span_find_end_to_end_identical(tmp_path):
+    """k=45 find through the packed span device engine must be byte-identical
+    to the host engine (scan_pay_device_q_span + planes_from_pay_span)."""
+    import io
+
+    from mindthegap_tpu.find import runner
+
+    data = "/root/reference/data"
+    outs = {}
+    for eng in ("host", "device"):
+        prefix = str(tmp_path / f"k45_{eng}")
+        opts = {
+            "in": f"{data}/reads_r1.fastq,{data}/reads_r2.fastq",
+            "ref": f"{data}/reference.fasta",
+            "out": prefix,
+            "kmer-size": 45,
+            "abundance-min": 3,
+            "scan-engine": eng,
+            "automaton": "host",
+            "verbose": 0,
+        }
+        runner.run_find(opts, out=io.StringIO())
+        outs[eng] = (
+            open(prefix + ".breakpoints").read(),
+            [l for l in open(prefix + ".othervariants.vcf") if not l.startswith("##")],
+        )
+    assert outs["host"] == outs["device"]
