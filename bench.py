@@ -56,7 +56,7 @@ SYNTH_CACHE = f"/tmp/mtg_bench_synth_k{K}_b{GENOME_BITS}_v1.npz"
 
 STAGE_DEADLINE_S = {
     "scan-q": 540, "scan-qb": 540, "scan-qp": 540, "count": 420, "fill": 540,
-    "count-streaming": 540, "scan-sharded-eff": 540,
+    "count-streaming": 540, "scan-sharded-eff": 540, "scan-cli": 540,
 }
 
 # per-stage env overrides for the subprocess (scan-sharded-eff measures the
@@ -311,6 +311,78 @@ def stage_fill():
     return {"rate": max(rate_host, rate_native, rate_device), "engines": engines}
 
 
+def stage_scan_cli():
+    """The find scan as the CLI actually runs it: packed payload stream off
+    the device (scan_pay_device_qp), planes rebuilt on host (native fwd
+    extract + numpy), double-buffered — i.e. including the device->host
+    boundary that the sum-readback scan stages exclude. Through a remote
+    relay this is transfer-bound (~14 MB/s); on locally-attached chips it
+    approaches the device rate."""
+    import jax
+    import jax.numpy as jnp
+
+    from mindthegap_tpu.find.scan_device import planes_from_pay, scan_pay_device_qp
+    from mindthegap_tpu.ops import extmap as X
+
+    genome, solid, repeat = _synth()
+    qp = X.build_fused_pair(solid, K, repeat)
+    targs = (jnp.asarray(qp.slots), jnp.asarray(qp.stash_keys),
+             jnp.asarray(qp.stash_l), jnp.asarray(qp.stash_r))
+    window = 1 << 22
+    halo = K - 1
+    step = window - halo
+    group = 8
+
+    @jax.jit
+    def pay_group(rows, *t):
+        return jax.vmap(lambda r: scan_pay_device_qp(r, *t, qp.log_size, K))(rows)
+
+    npos = genome.size - K + 1
+    takes = []
+    pos = 0
+    while pos < npos:
+        takes.append(min(step, npos - pos))
+        pos += step
+    nwin = len(takes)
+
+    def run():
+        total = 0
+        pending = None
+
+        def mat(res, g0, gn):
+            nonlocal total
+            pays = np.asarray(res["pay8"])
+            reps = np.asarray(res["rep8"])
+            for j in range(gn):
+                s = (g0 + j) * step
+                chunk = np.full(window, 255, np.uint8)
+                part = genome[s : s + window]
+                chunk[: part.shape[0]] = part
+                pw = planes_from_pay(pays[j], reps[j], chunk, K)
+                total += int(pw.nb_in[: takes[g0 + j]].sum())
+
+        for g0 in range(0, nwin, group):
+            gn = min(group, nwin - g0)
+            rows = np.full((group, window), 255, np.uint8)
+            for j in range(gn):
+                s = (g0 + j) * step
+                part = genome[s : s + window]
+                rows[j, : part.shape[0]] = part
+            res = pay_group(jnp.asarray(rows), *targs)
+            if pending is not None:
+                mat(*pending)
+            pending = (res, g0, gn)
+        mat(*pending)
+        return total
+
+    a = run()  # compile + warm
+    t0 = time.perf_counter()
+    b = run()
+    dt = time.perf_counter() - t0
+    assert a == b and a > 0
+    return {"rate": genome.size / dt}
+
+
 def stage_count_streaming():
     """The CLI's actual -count-engine device path: DeviceStreamingCounter
     (multi-batch device extract+sort+RLE, host run merge) over the bench
@@ -481,6 +553,8 @@ def run_stage(name: str):
         out = stage_count()
     elif name == "count-streaming":
         out = stage_count_streaming()
+    elif name == "scan-cli":
+        out = stage_scan_cli()
     elif name == "scan-sharded-eff":
         out = stage_scan_sharded_eff()
     elif name == "fill":
@@ -542,6 +616,7 @@ def main():
             break  # pair engine healthy and clearly ahead; skip the 2-probe map
     count_out = _spawn_stage("count")
     count_stream_out = _spawn_stage("count-streaming")
+    scan_cli_out = _spawn_stage("scan-cli")
     fill_out = _spawn_stage("fill")
     sharded_out = _spawn_stage("scan-sharded-eff")
 
@@ -563,6 +638,7 @@ def main():
             "fill_vs_baseline": round(fill_rate / base_fill, 2),
             "fill_engines": (fill_out or {}).get("engines"),
             "count_streaming_kmers_per_s": round((count_stream_out or {}).get("rate", 0)),
+            "scan_cli_bases_per_s": round((scan_cli_out or {}).get("rate", 0)),
             "scan_sharded": {
                 k: sharded_out[k]
                 for k in ("rate", "n_dev", "rate_1dev", "efficiency")
