@@ -305,21 +305,18 @@ def compute_planes_device(codes: np.ndarray, k: int, solid_sorted, repeat_sorted
     )
 
 
-@partial(jax.jit, static_argnames=("log_size", "k"))
-def scan_planes_device_qp(codes, slots2, stash_k, stash_l, stash_r, log_size: int, k: int):
-    """Plane pass over the pair-coalesced quotient map (ops/extmap.py QMapP):
-    ONE row lookup per TWO positions. One lookup at the shared (k-2)-mer of
-    q_i, q_{i+1} yields both fused payloads, already oriented as-read (see
-    QMapP header math). (XLA emulates each u64[S,2] row gather as two
-    u32[S,2] plane gathers on v5e — profiled at 4 x 0.194 s per 32-Mbase
-    window; a hand-rolled u32[S,4] row layout SIGKILLs the TPU compile
-    helper, so the u64 formulation stays.)"""
+def _pair_pay_device(codes, slots2, stash_k, stash_l, stash_r, log_size: int, k: int):
+    """Shared core of the qp kernels: the per-position fused 9-bit payload
+    stream (u64[2*n_pairs], oriented as-read) via one pair-map lookup per
+    TWO positions. One lookup at the shared (k-2)-mer of q_i, q_{i+1}
+    yields both payloads (QMapP header math). (XLA emulates each u64[S,2]
+    row gather as two u32[S,2] plane gathers on v5e — profiled at
+    4 x 0.194 s per 32-Mbase window; a hand-rolled u32[S,4] row layout
+    SIGKILLs the TPU compile helper, so the u64 formulation stays.)"""
     from ..ops import extmap as X
 
     qp = X.QMapP(slots2, log_size, k, stash_k, stash_l, stash_r)
-
-    fwd, valid = rolling_kmers_device(codes, k)
-    p = fwd.shape[0]
+    p = codes.shape[0] - k + 1
     n_pay = p + 1
     n_pairs = (n_pay + 1) // 2
 
@@ -359,7 +356,22 @@ def scan_planes_device_qp(codes, slots2, stash_k, stash_l, stash_r, log_size: in
     sub = lambda blk, i4: (blk >> (jnp.uint64(9) * i4)) & jnp.uint64(0x1FF)
     pay_even = jnp.where(strand, sub(l36, y), X._flip9(sub(r36, y ^ jnp.uint64(2)), jnp))
     pay_odd = jnp.where(strand, sub(r36, x), X._flip9(sub(l36, x ^ jnp.uint64(2)), jnp))
-    pay = jnp.stack([pay_even, pay_odd], axis=1).reshape(-1)[:n_pay].astype(jnp.uint16)
+    return jnp.stack([pay_even, pay_odd], axis=1).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("log_size", "k"))
+def scan_planes_device_qp(codes, slots2, stash_k, stash_l, stash_r, log_size: int, k: int):
+    """Plane pass over the pair-coalesced quotient map (ops/extmap.py QMapP):
+    ONE row lookup per TWO positions (_pair_pay_device), planes derived
+    on device. The packed sibling (scan_pay_device_qp) ships the payload
+    stream instead and derives planes on host."""
+    from ..ops import extmap as X
+
+    fwd, valid = rolling_kmers_device(codes, k)
+    p = fwd.shape[0]
+    n_pay = p + 1
+    pay = _pair_pay_device(codes, slots2, stash_k, stash_l, stash_r, log_size, k)
+    pay = pay[:n_pay].astype(jnp.uint16)
 
     # payloads are pre-oriented: planes drop the strand select
     ext_i = (pay[:p] & jnp.uint16(0xF)).astype(jnp.uint8)
@@ -391,41 +403,10 @@ def scan_pay_device_qp(codes, slots2, stash_k, stash_l, stash_r, log_size: int, 
     payloads (planes_from_pay) and rolls fwd/valid itself (native C++
     extract) — the same math the full kernel fuses, moved to where it is
     free. The CLI device engine rides this when planes leave the chip."""
-    from ..ops import extmap as X
-
-    qp = X.QMapP(slots2, log_size, k, stash_k, stash_l, stash_r)
-
     p = codes.shape[0] - k + 1
     n_pay = p + 1
     n_pairs = (n_pay + 1) // 2
-
-    clean = jnp.where(codes == INVALID, 0, codes).astype(jnp.uint8)
-    n2 = n_pairs + (k + 1) // 2 + 1
-    clean_p = jnp.concatenate(
-        [clean, jnp.zeros(2 * n2 - clean.shape[0], jnp.uint8)]
-    )
-    col0 = clean_p[0::2].astype(jnp.uint64)
-    col1 = clean_p[1::2].astype(jnp.uint64)
-
-    r_asread = jnp.zeros((n_pairs,), jnp.uint64)
-    for j in range(k - 2):
-        par = (1 + j) & 1
-        off = (1 + j) >> 1
-        col = col1 if par else col0
-        r_asread = (r_asread << jnp.uint64(2)) | jax.lax.dynamic_slice(col, (off,), (n_pairs,))
-    canon_r = K.canonical_u64(r_asread, k - 2, jnp)
-    strand = r_asread == canon_r
-    l36, r36 = X.lookup_qp(qp, canon_r, xp=jnp)
-
-    y = jax.lax.dynamic_slice(col0, (0,), (n_pairs,))
-    if (k - 1) % 2 == 0:
-        x = jax.lax.dynamic_slice(col0, ((k - 1) // 2,), (n_pairs,))
-    else:
-        x = jax.lax.dynamic_slice(col1, ((k - 2) // 2,), (n_pairs,))
-    sub = lambda blk, i4: (blk >> (jnp.uint64(9) * i4)) & jnp.uint64(0x1FF)
-    pay_even = jnp.where(strand, sub(l36, y), X._flip9(sub(r36, y ^ jnp.uint64(2)), jnp))
-    pay_odd = jnp.where(strand, sub(r36, x), X._flip9(sub(l36, x ^ jnp.uint64(2)), jnp))
-    pay = jnp.stack([pay_even, pay_odd], axis=1).reshape(-1)
+    pay = _pair_pay_device(codes, slots2, stash_k, stash_l, stash_r, log_size, k)
     # pad to a multiple of 8 so the repeat bits pack densely
     n8 = -(-n_pay // 8) * 8
     pay = jnp.concatenate([pay, jnp.zeros(n8 - 2 * n_pairs if n8 > 2 * n_pairs else 0, jnp.uint64)])[:n8]
