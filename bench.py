@@ -11,8 +11,14 @@
      (the DSK equivalent, reference hot loop #1 per SURVEY.md §3): device
      extract+sort batches + host run merge (ops/counting_device.py).
   3. fill gap-fills/s        — bounded local-assembly jobs (reference
-     src/Filler.cpp:854-884) through the device-batched walker
-     (fill/walk_device.py run_jobs_batched).
+     src/Filler.cpp:854-884) across all three engines (native C++ /
+     host python / device-batched walker), outputs asserted equal.
+
+Extra stages: count-streaming (the CLI -count-engine device path),
+scan-cli (packed payload transfer + host plane rebuild — the rate a CLI
+user sees, including the device->host boundary), scan-sharded-eff
+(8-device vs 1-device mesh scaling on the only multi-device backend of
+this machine).
 
 Each metric runs in its OWN subprocess with its own deadline, so a wedged
 or crashed TPU worker (observed with multi-GB tables through the remote
