@@ -98,6 +98,10 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: int =
 
     if engine == "host" or k > 256:
         return host_fn
+    if engine == "sharded" and k > 32:
+        # span windows over the mesh (packed span map; k <= 32 falls
+        # through to the budget gate below first)
+        return _make_sharded_plane_fn(graph, repeat_set, k, host_fn)
     if k > 32:
         return _make_span_plane_fn(engine, graph, repeat_set, k, host_fn)
     if engine in ("auto", "sharded") and k <= 32:
@@ -346,17 +350,28 @@ def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 <
         from ..parallel import mesh as M
         from .scan import Planes
 
-        # pair-coalesced map (half the probes of the 2-probe cuckoo;
-        # k <= 32 only — larger spans keep the q layout)
-        use_qp = k <= 32
         mesh = M.make_mesh()
+        use_qp = k <= 32  # pair-coalesced map; spans ride the packed
+        #                   multi-word map (make_sharded_scan_group_span)
         if use_qp:
             qm = X.build_fused_pair(graph.solid.kmers, k, repeat_set.kmers)
             dispatch, n_dev = M.make_sharded_scan_group_qp(mesh, qm, k, window)
+            keys = ("fwd", "valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep")
         else:
-            qm = X.build_fused(graph.solid.kmers, k, repeat_set.kmers)
-            n_dev = int(mesh.devices.size)
-            dispatch = None
+            from ..ops.span import Span
+            from .scan_device import planes_from_pay_span
+
+            sp = Span(k)
+            spm1 = Span(k - 1)
+            solid_rows = sp.from_keys(graph.solid.keys)
+            if repeat_set.span is None:  # k = 33: (k-1)-mer set is plain u64
+                rep_rows = np.asarray(repeat_set.keys, np.uint64).reshape(-1, 1)
+            else:
+                rep_rows = spm1.from_keys(repeat_set.keys)
+            qms = X.build_fused_span(solid_rows, k, rep_rows)
+            dispatch, n_dev = M.make_sharded_scan_group_span(mesh, qms, k, window)
+            keys = ("fwd", "valid", "contains", "nb_in", "nb_out",
+                    "suffix_rep", "prefix_rep", "fwd_rows")
         halo = k - 1
         step = window - halo
 
@@ -367,27 +382,18 @@ def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 <
             npos = n - k + 1
             nwin = -(-npos // step)
             takes = [min(step, npos - i * step) for i in range(nwin)]
-
-            if dispatch is None:  # k > 32: legacy one-shot path (q layout)
-                nwin_pad = -(-nwin // n_dev) * n_dev
-                wins = np.full((nwin_pad, window), 255, np.uint8)
-                for i in range(nwin):
-                    s = i * step
-                    part = codes[s : s + window]
-                    wins[i, : part.shape[0]] = part
-                planes = M.sharded_scan_q(mesh, wins, qm, k)
-                outs = {
-                    key: np.concatenate(
-                        [np.asarray(planes[key][i])[: takes[i]] for i in range(nwin)]
-                    )
-                    for key in ("fwd", "valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep")
-                }
-                return Planes(**outs)
-
-            keys = ("fwd", "valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep")
             outs = {key: [] for key in keys}
 
-            def materialize(res, g0, gn):
+            def materialize(res, wins, g0, gn):
+                if not use_qp:
+                    for j in range(gn):
+                        pw = planes_from_pay_span(
+                            np.asarray(res["pay8"][j]), np.asarray(res["rep8"][j]),
+                            np.asarray(res["str8"][j]), wins[j], k,
+                        )
+                        for key in keys:
+                            outs[key].append(getattr(pw, key)[: takes[g0 + j]])
+                    return
                 for key in keys:
                     arr = np.asarray(res[key])
                     for j in range(gn):
@@ -404,7 +410,7 @@ def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 <
                 res = dispatch(wins)
                 if pending is not None:
                     materialize(*pending)
-                pending = (res, g0, gn)
+                pending = (res, wins, g0, gn)
             if pending is not None:
                 materialize(*pending)
             return Planes(**{key: np.concatenate(outs[key]) for key in keys})

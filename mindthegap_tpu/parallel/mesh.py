@@ -128,6 +128,47 @@ def make_sharded_scan_group_qp(mesh: Mesh, qp, k: int, window: int):
     return dispatch, n_dev
 
 
+def make_sharded_scan_group_span(mesh: Mesh, qms, k: int, window: int):
+    """Span (32 < k <= 256) sibling of make_sharded_scan_group_qp: windows
+    sharded over the mesh, the multi-word quotient map replicated and
+    placed once, fixed [n_dev, window] dispatch shape, PACKED outputs
+    (payload byte + bit-packed repeat/strand planes — the host rebuilds
+    the planes with planes_from_pay_span)."""
+    from ..find.scan_device import scan_pay_device_q_span
+
+    axis = mesh.axis_names[0]
+    win_sharding = NamedSharding(mesh, P(axis, None))
+    rep_sharding = NamedSharding(mesh, P())
+
+    slots_d = jax.device_put(jnp.asarray(qms.slots), rep_sharding)
+    sat_d = jax.device_put(jnp.asarray(qms.sat), rep_sharding)
+    sk_d = jax.device_put(jnp.asarray(qms.stash_key64), rep_sharding)
+    ss_d = jax.device_put(jnp.asarray(qms.stash_sat), rep_sharding)
+    sv_d = jax.device_put(jnp.asarray(qms.stash_payload), rep_sharding)
+
+    @jax.jit
+    def run(w, slots, sat, sk, ss, sv):
+        return jax.vmap(
+            lambda row: scan_pay_device_q_span(
+                row, slots, sat, sk, ss, sv, qms.salt, qms.log_size, k
+            )
+        )(w)
+
+    n_dev = int(mesh.devices.size)
+
+    def dispatch(wins: np.ndarray):
+        assert wins.shape == (n_dev, window)
+        w_d = jax.device_put(jnp.asarray(wins), win_sharding)
+        out = run(w_d, slots_d, sat_d, sk_d, ss_d, sv_d)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return jax.tree.map(np.asarray, multihost_utils.process_allgather(out, tiled=True))
+        return out
+
+    return dispatch, n_dev
+
+
 def sharded_scan_qp(mesh: Mesh, windows: np.ndarray, qp, k: int):
     """Window-sharded find scan over the pair-coalesced map (ops/extmap.py
     QMapP, one [1,2]-row lookup per two positions): windows sharded on the

@@ -373,3 +373,33 @@ def test_packed_span_find_end_to_end_identical(tmp_path):
             [l for l in open(prefix + ".othervariants.vcf") if not l.startswith("##")],
         )
     assert outs["host"] == outs["device"]
+
+
+def test_sharded_span_find_end_to_end_identical(tmp_path):
+    """k=45 find with -scan-engine sharded (multi-word span map over the
+    mesh, packed transfer) must be byte-identical to the host engine —
+    the sharded scan previously silently fell back to host for k > 32."""
+    import io
+
+    from mindthegap_tpu.find import runner
+
+    data = "/root/reference/data"
+    outs = {}
+    for eng in ("host", "sharded"):
+        prefix = str(tmp_path / f"sh45_{eng}")
+        opts = {
+            "in": f"{data}/reads_r1.fastq,{data}/reads_r2.fastq",
+            "ref": f"{data}/reference.fasta",
+            "out": prefix,
+            "kmer-size": 45,
+            "abundance-min": 3,
+            "scan-engine": eng,
+            "automaton": "host",
+            "verbose": 0,
+        }
+        runner.run_find(opts, out=io.StringIO())
+        outs[eng] = (
+            open(prefix + ".breakpoints").read(),
+            [l for l in open(prefix + ".othervariants.vcf") if not l.startswith("##")],
+        )
+    assert outs["host"] == outs["sharded"]
