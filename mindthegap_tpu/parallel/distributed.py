@@ -8,7 +8,7 @@ past one host here is the standard JAX SPMD recipe:
      the args or the usual env vars);
   2. `global_mesh()` lays all addressable+remote devices on one named axis;
   3. the phase entry points in parallel/mesh.py (distributed_count_step,
-     sharded_scan_q, walk_batch_sharded) already take a Mesh — on a
+     make_sharded_scan_group_qp, walk_batch_sharded) already take a Mesh — on a
      multi-host mesh the same shard_map/psum code paths ride ICI within a
      slice and DCN across slices; XLA inserts the collectives;
   4. host 0 (jax.process_index() == 0) writes the merged artifacts —

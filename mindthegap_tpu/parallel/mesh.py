@@ -55,36 +55,6 @@ def sharded_scan(mesh: Mesh, windows: np.ndarray, solid_sorted, repeat_sorted, k
     return jax.tree.map(np.asarray, run(windows_d, solid_d, repeat_d))
 
 
-def sharded_scan_q(mesh: Mesh, windows: np.ndarray, qmap, k: int):
-    """Window-sharded find-scan over the fused quotient map (ops/extmap.py
-    QMap, ~2 gathers/position): windows sharded on the mesh axis, the map
-    replicated on every device (when the map exceeds per-chip HBM, shard it
-    and route queries — SURVEY.md §2.3 last row)."""
-    from ..find.scan_device import scan_planes_device_q
-
-    axis = mesh.axis_names[0]
-    win_sharding = NamedSharding(mesh, P(axis, None))
-    rep_sharding = NamedSharding(mesh, P())
-
-    windows_d = jax.device_put(jnp.asarray(windows), win_sharding)
-    slots_d = jax.device_put(jnp.asarray(qmap.slots), rep_sharding)
-    sk_d = jax.device_put(jnp.asarray(qmap.stash_keys), rep_sharding)
-    sv_d = jax.device_put(jnp.asarray(qmap.stash_payload), rep_sharding)
-
-    @jax.jit
-    def run(w, slots, sk, sv):
-        return jax.vmap(lambda row: scan_planes_device_q(row, slots, sk, sv, qmap.log_size, k))(w)
-
-    out = run(windows_d, slots_d, sk_d, sv_d)
-    if jax.process_count() > 1:
-        # multi-host: window shards live on remote processes too; gather the
-        # global arrays onto every host (the all_gather of SURVEY.md §5.8)
-        from jax.experimental import multihost_utils
-
-        return jax.tree.map(np.asarray, multihost_utils.process_allgather(out, tiled=True))
-    return jax.tree.map(np.asarray, out)
-
-
 def make_sharded_scan_group_qp(mesh: Mesh, qp, k: int, window: int):
     """Persistent window-sharded scanner over the pair-coalesced map:
     replicated tables are placed on the mesh ONCE; the returned callable
