@@ -46,14 +46,18 @@ class DeviceStreamingCounter:
         # the mid-read flush rewinds k-1 bases; the per-iteration advance must
         # exceed the rewind or add_codes never progresses
         assert self._batch >= 2 * k, "batch_bases must be >= 2*k"
-        self._buf = np.full(self._batch, SEP, np.uint8)
+        # TWO staging buffers, used alternately: the dispatched program may
+        # alias its input numpy buffer zero-copy AND run asynchronously
+        # (jnp.array's copy is not synchronous on every backend — the
+        # original flush race), so a buffer is only reused after the merge
+        # of ITS program has materialized (which synchronizes it). One
+        # flush stays in flight: batch g's result transfer (~0.35 s through
+        # a remote relay) overlaps batch g+1's compute.
+        self._bufs = [np.full(self._batch, SEP, np.uint8) for _ in range(2)]
+        self._cur = 0
         self._fill = 0
         self._sorted = np.zeros(0, np.uint64)
         self._counts = np.zeros(0, np.int64)
-        # one in-flight flush: batch g's device arrays materialize while
-        # batch g+1 computes (the device program is ~0.16 s/batch but the
-        # result transfer ~0.35 s through a remote relay — pipelining them
-        # bounds the stream at max(), not sum())
         self._pending = None
 
     def add_codes(self, codes: np.ndarray):
@@ -77,23 +81,28 @@ class DeviceStreamingCounter:
             self._flush()
             pos = max(pos - (self.k - 1), 0)
 
+    @property
+    def _buf(self):
+        return self._bufs[self._cur]
+
     def _flush(self):
         if self._fill == 0:
             return
-        self._buf[self._fill :] = SEP
+        buf = self._bufs[self._cur]
+        buf[self._fill :] = SEP
         # fused device extract+sort+RLE; only the distinct prefix crosses
-        # the host boundary (~1/coverage of the raw k-mer stream).
-        # jnp.array (copy=True) — NEVER jnp.asarray here: on the CPU backend
-        # asarray can zero-copy alias the numpy buffer, and the async program
-        # would read the post-clobber SEP fill below (silent empty graph).
-        # The copy also makes the async pipeline safe: the device owns its
-        # input snapshot while this buffer refills.
-        dispatched = count_batch_device(jnp.array(self._buf), self.k)
-        self._fill = 0
-        self._buf[:] = SEP
+        # the host boundary (~1/coverage of the raw k-mer stream). The
+        # dispatched program may alias `buf` zero-copy and run async —
+        # NEVER touch `buf` again until its merge has materialized.
+        dispatched = count_batch_device(jnp.asarray(buf), self.k)
         prev, self._pending = self._pending, dispatched
+        self._cur ^= 1
+        self._fill = 0
         if prev is not None:
+            # blocks until the in-flight program that read the buffer we
+            # are switching TO has finished — only then is it reusable
             self._merge_done(prev)
+        self._bufs[self._cur][:] = SEP
 
     def _merge_done(self, triple):
         keys_d, counts_d, nd_d = triple
