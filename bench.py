@@ -318,74 +318,57 @@ def stage_fill():
 
 
 def stage_scan_cli():
-    """The find scan as the CLI actually runs it: packed payload stream off
-    the device (scan_pay_device_qp), planes rebuilt on host (native fwd
-    extract + numpy), double-buffered — i.e. including the device->host
-    boundary that the sum-readback scan stages exclude. Through a remote
-    relay this is transfer-bound (~14 MB/s); on locally-attached chips it
-    approaches the device rate."""
-    import jax
-    import jax.numpy as jnp
-
-    from mindthegap_tpu.find.scan_device import planes_from_pay, scan_pay_device_qp
-    from mindthegap_tpu.ops import extmap as X
+    """The find scan as the CLI actually runs it (r5): the packed payload
+    stream off the device (scan_pay_device_qp, ~1.125 B/position) is fed
+    STRAIGHT into the native C automaton (scanner_feed_pay) — no host plane
+    expansion at all; the automaton rolls fwd k-mers/validity from the raw
+    sequence and replays window g-1 while the device computes window g.
+    Includes the device->host boundary that the sum-readback stages exclude."""
+    from mindthegap_tpu.find.native_scan import NativeScanner
+    from mindthegap_tpu.find.runner import _make_pay_feed_fn
+    from mindthegap_tpu.utils import dna
 
     genome, solid, repeat = _synth()
-    qp = X.build_fused_pair(solid, K, repeat)
-    targs = (jnp.asarray(qp.slots), jnp.asarray(qp.stash_keys),
-             jnp.asarray(qp.stash_l), jnp.asarray(qp.stash_r))
-    window = 1 << 22
-    halo = K - 1
-    step = window - halo
-    group = 8
+    seq = dna.codes_to_seq(genome)
 
-    @jax.jit
-    def pay_group(rows, *t):
-        return jax.vmap(lambda r: scan_pay_device_qp(r, *t, qp.log_size, K))(rows)
+    class _Set:
+        def __init__(self, keys):
+            self.keys = keys
+            self.kmers = keys
+            self.span = None
 
-    npos = genome.size - K + 1
-    takes = []
-    pos = 0
-    while pos < npos:
-        takes.append(min(step, npos - pos))
-        pos += step
-    nwin = len(takes)
+        def __len__(self):
+            return self.keys.size
 
-    def run():
-        total = 0
-        pending = None
+    class _G:
+        pass
 
-        def mat(res, g0, gn):
-            nonlocal total
-            pays = np.asarray(res["pay8"])
-            reps = np.asarray(res["rep8"])
-            for j in range(gn):
-                s = (g0 + j) * step
-                chunk = np.full(window, 255, np.uint8)
-                part = genome[s : s + window]
-                chunk[: part.shape[0]] = part
-                pw = planes_from_pay(pays[j], reps[j], chunk, K)
-                total += int(pw.nb_in[: takes[g0 + j]].sum())
+    g = _G()
+    g.solid = _Set(solid)
+    rs = _Set(repeat)
+    # the CLI's own feed factory — bench measures exactly the run_find path
+    feed = _make_pay_feed_fn("device-qp", g, rs, K)
+    assert feed is not None
 
-        for g0 in range(0, nwin, group):
-            gn = min(group, nwin - g0)
-            rows = np.full((group, window), 255, np.uint8)
-            for j in range(gn):
-                s = (g0 + j) * step
-                part = genome[s : s + window]
-                rows[j, : part.shape[0]] = part
-            res = pay_group(jnp.asarray(rows), *targs)
-            if pending is not None:
-                mat(*pending)
-            pending = (res, g0, gn)
-        mat(*pending)
-        return total
+    def mk():
+        return NativeScanner(
+            g, rs, K, max_repeat=5, snp_min_val=5, branching_threshold=15,
+            homo_only=False, snp=True, deletion=True, small_homo=True,
+            homo_insert=True, backup=False, hete_insert=True,
+        )
 
-    a = run()  # compile + warm
+    def run(sc):
+        sc.scan_sequence_pay("bench", seq, feed(genome))
+        bkpt, vcf, stats = sc.results()
+        sc.close()
+        return (len(bkpt), len(vcf), tuple(sorted(stats.items())))
+
+    a = run(mk())  # compile + warm
+    sc2 = mk()     # scanner construction (sorted-set copies) is setup, not scan
     t0 = time.perf_counter()
-    b = run()
+    b = run(sc2)
     dt = time.perf_counter() - t0
-    assert a == b and a > 0
+    assert a == b
     return {"rate": genome.size / dt}
 
 
@@ -452,6 +435,9 @@ def stage_scan_sharded_eff():
         nwin = -(-npos // step)
 
         def once():
+            # the dispatcher ships packed payloads (r5); materialize the
+            # previous group's stream while the current one computes, the
+            # same discipline as the CLI's pay feed
             pending = None
             for g0 in range(0, nwin, nd):
                 gn = min(nd, nwin - g0)
@@ -462,9 +448,9 @@ def stage_scan_sharded_eff():
                     wins[j, : part.shape[0]] = part
                 res = dispatch(wins)
                 if pending is not None:
-                    np.asarray(pending["nb_in"])
+                    np.asarray(pending["pay8"])
                 pending = res
-            return int(np.asarray(pending["nb_in"]).sum())
+            return int(np.asarray(pending["pay8"]).sum())
 
         once()  # compile
         t0 = time.perf_counter()

@@ -48,6 +48,18 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.scanner_begin_sequence.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.scanner_feed_pay.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.scanner_feed_cls.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64,
+        ]
         lib.scanner_bkpt_size.restype = ctypes.c_int64
         lib.scanner_bkpt_size.argtypes = [ctypes.c_void_p]
         lib.scanner_vcf_size.restype = ctypes.c_int64
@@ -148,6 +160,53 @@ class NativeScanner:
             bed.ctypes.data_as(ctypes.c_void_p) if bed is not None and bed.size else None,
             n_bed,
         )
+
+    def scan_sequence_pay(self, name: str, seq: str, chunks, bed_intervals=None):
+        """Packed-payload scan: feed the device's payload stream straight
+        into the C automaton — no host plane expansion. `chunks` iterates
+        tagged tuples:
+
+          ("pay", pay_u8, rep_bits_u8, str_bits_u8 | None, n) — explicit
+            payload bytes; rep/str bit t (np.unpackbits order) belongs to
+            the chunk's local entry t; str None = pre-oriented (qp map)
+          ("cls", cls2_u8, exc16_u16, n_exc, n) — reference-delta stream
+            (scan_cls_device_qp): 2-bit classes, exceptions in order
+
+        Byte-identical to scan_sequence over the expanded planes
+        (differential-tested)."""
+        if bed_intervals is None:
+            bed, n_bed = None, -1
+        else:
+            flat = [x for iv in bed_intervals for x in iv]
+            bed = np.ascontiguousarray(flat, dtype=np.int64) if flat else np.zeros(0, np.int64)
+            n_bed = len(flat)
+        seq_b = seq.encode("ascii")  # must outlive the feeds (C keeps the ptr)
+        self._lib.scanner_begin_sequence(
+            self._h, name.encode(), seq_b, len(seq_b),
+            bed.ctypes.data_as(ctypes.c_void_p) if bed is not None and bed.size else None,
+            n_bed,
+        )
+        for chunk in chunks:
+            if chunk[0] == "cls":
+                _, cls2, exc16, n_exc, n = chunk
+                cls2 = np.ascontiguousarray(cls2, np.uint8)
+                exc16 = np.ascontiguousarray(exc16, np.uint16)
+                self._lib.scanner_feed_cls(
+                    self._h, cls2.ctypes.data_as(ctypes.c_void_p),
+                    exc16.ctypes.data_as(ctypes.c_void_p), int(n_exc), int(n),
+                )
+                continue
+            _, pay, rep, strb, n = chunk
+            pay = np.ascontiguousarray(pay, np.uint8)
+            rep = np.ascontiguousarray(rep, np.uint8)
+            strp = None
+            if strb is not None:
+                strb = np.ascontiguousarray(strb, np.uint8)
+                strp = strb.ctypes.data_as(ctypes.c_void_p)
+            self._lib.scanner_feed_pay(
+                self._h, pay.ctypes.data_as(ctypes.c_void_p),
+                rep.ctypes.data_as(ctypes.c_void_p), strp, int(n),
+            )
 
     def results(self):
         lib = self._lib

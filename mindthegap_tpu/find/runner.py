@@ -78,6 +78,17 @@ def _scan_map_bytes_estimate(n_solid: int) -> int:
     return (1 << math.ceil(math.log2(n / 0.35))) * 16
 
 
+_VALID_SCAN_ENGINES = ("auto", "host", "device", "device-qp", "device-qb", "sharded", "sharded-mem")
+
+
+def _validate_scan_engine(engine: str):
+    if engine not in _VALID_SCAN_ENGINES:
+        raise FinderError(
+            "ERROR: unknown -scan-engine %r (choose from %s)"
+            % (engine, ", ".join(_VALID_SCAN_ENGINES))
+        )
+
+
 def _make_plane_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: int = 0):
     """Select the scan engine: "host" (numpy oracle), "device" (XLA pass over
     the extension-bitmap map — identical results, ~73x faster per chip),
@@ -87,11 +98,7 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: int =
     present and the sets fit the k<=32 device path; switches to sharded-mem
     when the replicated map would exceed the per-chip budget and a mesh is
     available)."""
-    valid_engines = ("auto", "host", "device", "device-qp", "device-qb", "sharded", "sharded-mem")
-    if engine not in valid_engines:
-        raise FinderError(
-            "ERROR: unknown -scan-engine %r (choose from %s)" % (engine, ", ".join(valid_engines))
-        )
+    _validate_scan_engine(engine)
 
     def host_fn(codes):
         return scan.compute_planes(codes, k, graph.solid.kmers, repeat_set.kmers)
@@ -349,6 +356,7 @@ def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 <
         from ..ops import extmap as X
         from ..parallel import mesh as M
         from .scan import Planes
+        from .scan_device import planes_from_pay
 
         mesh = M.make_mesh()
         use_qp = k <= 32  # pair-coalesced map; spans ride the packed
@@ -385,6 +393,8 @@ def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 <
             outs = {key: [] for key in keys}
 
             def materialize(res, wins, g0, gn):
+                # both layouts ship packed payload streams off the mesh
+                # (~1.125 B/position); planes are rebuilt here on host
                 if not use_qp:
                     for j in range(gn):
                         pw = planes_from_pay_span(
@@ -394,10 +404,12 @@ def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 <
                         for key in keys:
                             outs[key].append(getattr(pw, key)[: takes[g0 + j]])
                     return
-                for key in keys:
-                    arr = np.asarray(res[key])
-                    for j in range(gn):
-                        outs[key].append(arr[j, : takes[g0 + j]])
+                pays = np.asarray(res["pay8"])
+                reps = np.asarray(res["rep8"])
+                for j in range(gn):
+                    pw = planes_from_pay(pays[j], reps[j], wins[j], k)
+                    for key in keys:
+                        outs[key].append(getattr(pw, key)[: takes[g0 + j]])
 
             pending = None
             for g0 in range(0, nwin, n_dev):
@@ -511,6 +523,200 @@ def _make_span_plane_fn(engine: str, graph, repeat_set, k: int, host_fn):
 
         sys.stderr.write(f"warning: device span scan unavailable ({e}); using host scan\n")
         return host_fn
+
+
+def _make_pay_feed_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: int = 0):
+    """Packed-payload scan feed for the NATIVE automaton (the fastest CLI
+    path): returns a factory `codes -> iterator of (pay, rep_bits, str_bits,
+    n)` chunks for NativeScanner.scan_sequence_pay, or None when this
+    engine/backend combination should use the plane path instead.
+
+    Only the fused payload byte stream (+ bit-packed repeat/strand planes,
+    ~1.125 B/position) crosses the device->host boundary; the C automaton
+    rolls fwd k-mers and validity from the raw sequence itself, so the host
+    plane expansion (the old planes_from_pay numpy pass + ~20 B/position of
+    plane arrays) disappears entirely. Replay of window g-1 overlaps the
+    device compute of window g. Engines: auto / device-qp (k<=32 pair map),
+    device (k>32 span map), sharded (either, windows over the mesh)."""
+    if engine not in ("auto", "device", "device-qp", "sharded") or k > 256:
+        return None
+    if engine == "auto":
+        # same gates as _make_plane_fn's auto resolution
+        if len(graph.solid) < (1 << 21):
+            return None
+        try:
+            import jax
+
+            if jax.default_backend() in ("cpu",):
+                return None
+        except Exception:
+            return None
+    if k <= 32 and engine in ("auto", "sharded"):
+        # over-budget replicated map -> sharded-mem (plane path) handles it
+        budget = (scan_memory_mb << 20) if scan_memory_mb > 0 else 12 << 30
+        if _scan_map_bytes_estimate(len(graph.solid)) > budget:
+            try:
+                import jax
+
+                if len(jax.devices()) > 1:
+                    return None
+            except Exception:
+                pass
+    if engine == "device" and k <= 32:
+        return None  # explicit 2-probe cuckoo layout has no packed kernel
+
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import extmap as X
+
+        span_mode = k > 32
+        mode = "pay"
+        pay_one = None
+        if engine == "sharded":
+            from ..parallel import mesh as M
+
+            mesh = M.make_mesh()
+            window = 1 << 22 if not span_mode else 1 << 21
+            if span_mode:
+                qms = _build_span_map(graph, repeat_set, k)
+                dispatch, group = M.make_sharded_scan_group_span(mesh, qms, k, window)
+            else:
+                qp = X.build_fused_pair(graph.solid.kmers, k, repeat_set.kmers)
+                dispatch, group = M.make_sharded_scan_group_qp(mesh, qp, k, window)
+            dispatch_rows = dispatch
+        elif span_mode:
+            from .scan_device import pack_codes_host, scan_pay_device_q_span, unpack_codes_device
+
+            qms = _build_span_map(graph, repeat_set, k)
+            targs = (jnp.asarray(qms.slots), jnp.asarray(qms.sat), jnp.asarray(qms.stash_key64),
+                     jnp.asarray(qms.stash_sat), jnp.asarray(qms.stash_payload))
+            window = 1 << 21
+            group = 4
+
+            @jax.jit
+            def pay_group_span(packed, bad, *t):
+                rows = unpack_codes_device(packed, bad)
+                return jax.vmap(
+                    lambda r: scan_pay_device_q_span(r, *t, qms.salt, qms.log_size, k)
+                )(rows)
+
+            def dispatch_rows(rows):
+                packed, bad = pack_codes_host(rows)
+                return pay_group_span(jnp.asarray(packed), jnp.asarray(bad), *targs)
+        else:
+            # flagship single-device path: 2-bit packed upload (0.375 B/base)
+            # + reference-delta class download (~0.27 B/position) — the
+            # device->host boundary is the CLI rate limiter on relay/PCIe
+            from .scan_device import (
+                pack_codes_host, scan_cls_device_qp, scan_pay_device_qp, unpack_codes_device,
+            )
+
+            mode = "cls"
+            qp = X.build_fused_pair(graph.solid.kmers, k, repeat_set.kmers)
+            targs = (jnp.asarray(qp.slots), jnp.asarray(qp.stash_keys),
+                     jnp.asarray(qp.stash_l), jnp.asarray(qp.stash_r))
+            window = 1 << 22
+            group = 8
+            exc_cap = (window - k + 2 + 3) // 4 * 4 // 8  # 12.5% of payload entries
+
+            @jax.jit
+            def cls_group(packed, bad, *t):
+                return jax.vmap(
+                    lambda r, b: scan_cls_device_qp(r, b, *t, qp.log_size, k, exc_cap)
+                )(packed, bad)
+
+            @jax.jit
+            def pay_one_fn(packed, bad, *t):
+                # dense fallback for an exception-overflow window
+                row = unpack_codes_device(packed, bad)
+                return scan_pay_device_qp(row, *t, qp.log_size, k)
+
+            def dispatch_rows(rows):
+                packed, bad = pack_codes_host(rows)
+                return cls_group(jnp.asarray(packed), jnp.asarray(bad), *targs)
+
+            def pay_one(row):
+                packed, bad = pack_codes_host(row)
+                return pay_one_fn(jnp.asarray(packed), jnp.asarray(bad), *targs)
+
+        halo = k - 1
+        step = window - halo
+
+        def feed(codes):
+            npos = codes.shape[0] - k + 1
+            if npos <= 0:
+                return
+            nwin = -(-npos // step)
+            takes = [min(step, npos - i * step) for i in range(nwin)]
+
+            def n_feed_of(w):
+                # the global payload stream has npos+1 entries; the final
+                # window contributes its take + 1
+                return takes[w] + (1 if w == nwin - 1 else 0)
+
+            def emit_cls(res, rows, g0, gn):
+                cls2 = np.asarray(res["cls2"])
+                nexc = np.asarray(res["n_exc"])
+                exc16 = np.asarray(res["exc16"])
+                for j in range(gn):
+                    n_feed = n_feed_of(g0 + j)
+                    if int(nexc[j]) > exc_cap:
+                        # exception-heavy window: re-dispatch dense
+                        r = pay_one(rows[j])
+                        yield ("pay", np.asarray(r["pay8"])[:n_feed],
+                               np.asarray(r["rep8"]), None, n_feed)
+                    else:
+                        yield ("cls", cls2[j], exc16[j], int(nexc[j]), n_feed)
+
+            def emit_pay(res, rows, g0, gn):
+                pays = np.asarray(res["pay8"])
+                reps = np.asarray(res["rep8"])
+                strs = np.asarray(res["str8"]) if span_mode else None
+                for j in range(gn):
+                    n_feed = n_feed_of(g0 + j)
+                    yield ("pay", pays[j][:n_feed], reps[j],
+                           strs[j] if span_mode else None, n_feed)
+
+            emit = emit_cls if mode == "cls" else emit_pay
+
+            pending = None
+            for g0 in range(0, nwin, group):
+                gn = min(group, nwin - g0)
+                rows = np.full((group, window), 255, np.uint8)
+                for j in range(gn):
+                    s = (g0 + j) * step
+                    part = codes[s : s + window]
+                    rows[j, : part.shape[0]] = part
+                res = dispatch_rows(rows)
+                if pending is not None:
+                    yield from emit(*pending)
+                pending = (res, rows, g0, gn)
+            if pending is not None:
+                yield from emit(*pending)
+
+        return feed
+    except Exception as e:
+        import sys
+
+        sys.stderr.write(f"warning: packed scan feed unavailable ({e}); using plane path\n")
+        return None
+
+
+def _build_span_map(graph, repeat_set, k: int):
+    """QMapSpan over the solid/repeat sets (shared by the span scan paths)."""
+    from ..ops import extmap as X
+    from ..ops.span import Span
+
+    sp = Span(k)
+    spm1 = Span(k - 1)
+    solid_rows = sp.from_keys(graph.solid.keys)
+    if repeat_set.span is None:  # k = 33: (k-1)-mer set is plain u64
+        rep_rows = np.asarray(repeat_set.keys, np.uint64).reshape(-1, 1)
+    else:
+        rep_rows = spm1.from_keys(repeat_set.keys)
+    return X.build_fused_span(solid_rows, k, rep_rows)
 
 
 def run_find(opts: dict, out=None) -> Properties:
@@ -649,19 +855,33 @@ def run_find(opts: dict, out=None) -> Properties:
             refbank.estimate_sequences_size(), "Finding breakpoints", enabled=verbose > 0
         )
         with phases.phase("scan engine setup"):
-            plane_fn = _make_plane_fn(
-                opts.get("scan-engine", "auto"), graph, repeat_set, k,
-                scan_memory_mb=int(opts.get("scan-memory", 0)),
+            scan_engine = opts.get("scan-engine", "auto")
+            _validate_scan_engine(scan_engine)
+            scan_mem = int(opts.get("scan-memory", 0))
+            # native automaton + packed-capable engine: the fused payload
+            # stream feeds the C scanner directly (no host plane expansion;
+            # replay overlaps device compute)
+            pay_feed = (
+                _make_pay_feed_fn(scan_engine, graph, repeat_set, k, scan_memory_mb=scan_mem)
+                if use_native else None
+            )
+            plane_fn = (
+                None if pay_feed is not None
+                else _make_plane_fn(scan_engine, graph, repeat_set, k, scan_memory_mb=scan_mem)
             )
         for rec in refbank:
             codes = dna.seq_to_codes(rec.seq)
-            with phases.phase("scan planes"):
-                planes = plane_fn(codes)
             bed_intervals = None
             if bed_file:
                 bed_intervals = parse_bed_for_chrom(bed_file, rec.comment_short, k)
-            with phases.phase("automaton replay"):
-                ctx.scan_sequence(rec.comment_short, rec.seq, planes, bed_intervals)
+            if pay_feed is not None:
+                with phases.phase("scan+replay (fused)"):
+                    ctx.scan_sequence_pay(rec.comment_short, rec.seq, pay_feed(codes), bed_intervals)
+            else:
+                with phases.phase("scan planes"):
+                    planes = plane_fn(codes)
+                with phases.phase("automaton replay"):
+                    ctx.scan_sequence(rec.comment_short, rec.seq, planes, bed_intervals)
             progress.inc(len(rec.seq))
         progress.finish()
 

@@ -30,6 +30,35 @@ from ..ops import kmers as K
 INVALID = 255
 
 
+def pack_codes_host(rows: np.ndarray):
+    """2-bit-pack base codes for the host->device boundary (4x less upload
+    than raw u8 codes — on this machine the axon relay moves ~15-20 MB/s, so
+    the upload is a first-order term of every CLI-shaped scan; on real
+    hardware it is 4x less PCIe/HBM write). rows: u8[..., n] with n % 8 == 0
+    (255 = invalid). Returns (packed u8[..., n/4] — base j in bits 2*(j%4)
+    of byte j//4 — and bad u8[..., n/8], np.packbits bit order)."""
+    n = rows.shape[-1]
+    assert n % 8 == 0
+    bad = rows == INVALID
+    c = np.where(bad, 0, rows).astype(np.uint8)
+    q = c.reshape(rows.shape[:-1] + (n // 4, 4))
+    packed = q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4) | (q[..., 3] << 6)
+    badbits = np.packbits(bad, axis=-1)
+    return packed, badbits
+
+
+def unpack_codes_device(packed, badbits):
+    """Device inverse of pack_codes_host (elementwise + reshape only — no
+    gathers): returns u8[..., 4*m] codes with 255 at bad positions."""
+    cols = jnp.stack(
+        [((packed >> jnp.uint8(2 * j)) & jnp.uint8(3)) for j in range(4)], axis=-1
+    ).reshape(packed.shape[:-1] + (-1,))
+    bits = jnp.stack(
+        [((badbits >> jnp.uint8(7 - i)) & jnp.uint8(1)) for i in range(8)], axis=-1
+    ).reshape(badbits.shape[:-1] + (-1,))
+    return jnp.where(bits != 0, jnp.uint8(INVALID), cols)
+
+
 def rolling_kmers_device(codes, k: int):
     """Forward kmers + validity for a padded window (jnp, jittable).
 
@@ -416,6 +445,53 @@ def scan_pay_device_qp(codes, slots2, stash_k, stash_l, stash_r, log_size: int, 
     w = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
     rep8 = (rep * w[None, :]).sum(axis=1).astype(jnp.uint8)
     return {"pay8": pay8[:n_pay], "rep8": rep8}
+
+
+@partial(jax.jit, static_argnames=("log_size", "k", "exc_cap"))
+def scan_cls_device_qp(packed, badbits, slots2, stash_k, stash_l, stash_r,
+                       log_size: int, k: int, exc_cap: int):
+    """Reference-delta variant of scan_pay_device_qp: instead of shipping
+    every 9-bit payload, classify each payload index j against what the
+    reference's OWN continuation implies —
+
+      cls 0 (REF):  pay == 1-hot ext at base(j+k-1) | 1-hot pre at
+                    base(j-1), rep=0 — the unique-coverage common case;
+                    the host automaton reconstructs it from the sequence
+      cls 1 (ZERO): pay == 0 (gap interior)
+      cls 2 (EXC):  anything else — branching, repeat-marked, window-edge
+                    and N-adjacent payloads — shipped explicitly, compacted
+                    in payload order
+
+    Output: 2-bit class stream (0.25 B/position) + exc16 u16[exc_cap] +
+    n_exc. Device->host drops ~4x vs the packed payload stream (and ~16x vs
+    the plane tuple); on a relay/PCIe-bound link this sets the CLI rate.
+    Input is 2-bit packed codes + bad mask (pack_codes_host). n_exc >
+    exc_cap means the window must be re-dispatched through the dense
+    kernel (host fallback)."""
+    codes = unpack_codes_device(packed, badbits)
+    w = codes.shape[0]
+    p = w - k + 1
+    n_pay = p + 1
+    pay = _pair_pay_device(codes, slots2, stash_k, stash_l, stash_r, log_size, k)
+    n4 = -(-n_pay // 4) * 4
+    pay = jnp.concatenate([pay, jnp.zeros(max(0, n4 - pay.shape[0]), jnp.uint64)])[:n4]
+
+    b_hi = jnp.concatenate([codes[k - 1 :], jnp.full(n4 - p, INVALID, jnp.uint8)])
+    b_lo = jnp.concatenate([jnp.full(1, INVALID, jnp.uint8), codes])[:n4]
+    ok = (b_hi < 4) & (b_lo < 4)
+    ref_pay = (jnp.uint64(1) << b_hi.astype(jnp.uint64)) | (
+        (jnp.uint64(1) << b_lo.astype(jnp.uint64)) << jnp.uint64(4)
+    )
+    cls = jnp.where(ok & (pay == ref_pay), jnp.uint8(0),
+                    jnp.where(pay == 0, jnp.uint8(1), jnp.uint8(2)))
+    q = cls.reshape(-1, 4)
+    cls2 = (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6)).astype(jnp.uint8)
+
+    not_exc = (cls != 2).astype(jnp.uint8)
+    idx = jnp.arange(n4, dtype=jnp.int32)
+    _, _, exc = jax.lax.sort((not_exc, idx, pay.astype(jnp.uint16)), num_keys=2)
+    n_exc = jnp.sum((cls == 2).astype(jnp.int32))
+    return {"cls2": cls2, "exc16": exc[:exc_cap], "n_exc": n_exc}
 
 
 def planes_from_pay(pay8: np.ndarray, rep8: np.ndarray, codes: np.ndarray, k: int):

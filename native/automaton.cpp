@@ -163,10 +163,31 @@ struct IScanner
                       const uint8_t* contains, const int32_t* nb_in, const int32_t* nb_out,
                       const uint8_t* suffix_rep, const uint8_t* prefix_rep,
                       const int64_t* bed, int64_t n_bed) = 0;
+    // incremental packed-payload mode (the device qp/span packed streams):
+    // begin resets per-sequence state; feed consumes payload entries and
+    // replays every position whose pay[i] and pay[i+1] are both known.
+    virtual void begin_sequence(const char* chrom_name, const char* chrom_seq,
+                                int64_t chrom_len, const int64_t* bed, int64_t n_bed) = 0;
+    virtual void feed_pay(const uint8_t* pay, const uint8_t* rep_bits,
+                          const uint8_t* str_bits, int64_t n) = 0;
+    virtual void feed_cls(const uint8_t* cls2, const uint16_t* exc16,
+                          int64_t n_exc, int64_t n) = 0;
     std::string bkpt_out;
     std::string vcf_out;
     Stats stats;
 };
+
+inline int popcount4(unsigned b)
+{
+    return (int)(((b >> 0) & 1) + ((b >> 1) & 1) + ((b >> 2) & 1) + ((b >> 3) & 1));
+}
+
+// permute bitmap positions b -> b^2 (ops/extmap.py _shuffle02): the rc
+// orientation transform of a 4-bit extension bitmap
+inline unsigned shuffle02(unsigned b)
+{
+    return (((b >> 2) & 1) << 0) | (((b >> 3) & 1) << 1) | ((b & 1) << 2) | (((b >> 1) & 1) << 3);
+}
 
 template <int W>
 struct Scanner : IScanner
@@ -803,14 +824,24 @@ struct Scanner : IScanner
     }
 
     // ------- notify / scan -------------------------------------------------
-    void store_kmer_info(int64_t i)
+    // per-position plane values, decoupled from their source (plane arrays
+    // or the packed payload stream)
+    struct PosPlanes
     {
-        current_info.kmer = load_fwd(i);
-        current_info.nb_in = nb_in_p[i];
-        current_info.nb_out = nb_out_p[i];
-        current_info.is_repeated = suffix_rep_p[i] != 0;
+        KM fwd;
+        bool contains;
+        int nb_in, nb_out;
+        bool sfx_rep, pfx_rep;
+    };
+
+    void store_kmer_info(const PosPlanes& p)
+    {
+        current_info.kmer = p.fwd;
+        current_info.nb_in = p.nb_in;
+        current_info.nb_out = p.nb_out;
+        current_info.is_repeated = p.sfx_rep;
         history[het_end_index] = current_info;
-        kmer_end_is_repeated = prefix_rep_p[i] != 0;
+        kmer_end_is_repeated = p.pfx_rep;
     }
 
     void gap_observers()
@@ -835,10 +866,10 @@ struct Scanner : IScanner
         if (P.backup && obs_backup()) return;
     }
 
-    void notify(int64_t i)
+    void notify(const PosPlanes& p)
     {
-        bool in_graph = contains_p[i] != 0;
-        store_kmer_info(i);
+        bool in_graph = p.contains;
+        store_kmer_info(p);
         if (P.hete_insert) obs_hetero();
         if (in_graph)
         {
@@ -850,7 +881,7 @@ struct Scanner : IScanner
             }
             if (solid_stretch_size == 1)
             {
-                kmer_end_fwd = load_fwd(i);
+                kmer_end_fwd = p.fwd;
                 kmer_end_valid = true;
             }
         }
@@ -868,14 +899,233 @@ struct Scanner : IScanner
         }
     }
 
+    // per-sequence iteration state shared by both scan modes (bed intervals
+    // copied so the caller's buffer need not outlive begin_sequence)
+    bool bed_mode = false, bed_done = false;
+    int64_t bed_pairs = 0, bed_i = 0;
+    u64 bed_start = 0, bed_end = 0;
+    std::vector<int64_t> bed_v;
+
+    // one position of the reference FindBreakpoints iteration
+    // (src/FindBreakpoints.hpp:390-554), including the BED-restricted
+    // variant's interval advance + state resets
+    void step_position(bool is_valid, const PosPlanes& p)
+    {
+        if (bed_mode)
+        {
+            if (bed_done) { position++; het_begin_index++; het_end_index++; return; }
+            if (position >= bed_end)
+            {
+                bed_i++;
+                if (bed_i >= bed_pairs)
+                {
+                    bed_done = true;
+                    position++; het_begin_index++; het_end_index++;
+                    return;
+                }
+                bed_start = (u64)bed_v[2 * bed_i];
+                bed_end = (u64)bed_v[2 * bed_i + 1];
+            }
+            if (!is_valid)
+            {
+                solid_stretch_size = 0;
+                gap_stretch_size = 0;
+                kmer_begin_valid = kmer_end_valid = false;
+            }
+            if (position == bed_start - 1)
+            {
+                solid_stretch_size = 0;
+                gap_stretch_size = 0;
+                kmer_begin_valid = kmer_end_valid = false;
+                for (int q = 0; q < 256; q++) history[q] = Info();
+            }
+            if (is_valid && position >= bed_start)
+            {
+                u64 save_position = position;
+                notify(p);
+                position = save_position;
+                previous_fwd = p.fwd;
+                previous_valid = true;
+            }
+        }
+        else
+        {
+            if (!is_valid)
+            {
+                solid_stretch_size = 0;
+                gap_stretch_size = 0;
+                kmer_begin_valid = kmer_end_valid = false;
+            }
+            else
+            {
+                u64 save_position = position;
+                notify(p);
+                position = save_position;
+                previous_fwd = p.fwd;
+                previous_valid = true;
+            }
+        }
+        position++;
+        het_begin_index++;
+        het_end_index++;
+    }
+
+    void begin_sequence(const char* name, const char* seq, int64_t seq_len,
+                        const int64_t* bed, int64_t n_bed) override
+    {
+        chrom_name = name;
+        chrom_seq = seq;
+        chrom_len = seq_len;
+
+        kmer_begin_valid = kmer_end_valid = false;
+        previous_valid = false;
+        solid_stretch_size = gap_stretch_size = 0;
+        for (int q = 0; q < 256; q++) history[q] = Info();
+        het_end_index = (uint8_t)((P.k + 1) & 255);
+        het_begin_index = 1;
+        recent_hetero = 0;
+        position = 0;
+
+        bed_mode = n_bed >= 0;
+        bed_done = (n_bed == 0);
+        bed_pairs = n_bed > 0 ? n_bed / 2 : 0;
+        bed_i = 0;
+        bed_v.assign(bed, bed + (n_bed > 0 ? n_bed : 0));
+        if (bed_pairs) { bed_start = (u64)bed_v[0]; bed_end = (u64)bed_v[1]; }
+
+        // packed-payload mode rolling state
+        pay_fed = 0;
+        n_pos_seq = seq_len - P.k + 1;
+        rolled_to = 0;
+        last_bad = -1;
+        cur_last_code = 0;
+        roll_fwd = KM();
+    }
+
+    // ------- packed-payload feed (device qp / span packed streams) ---------
+    int64_t pay_fed = 0;       // global payload index of the next entry
+    int64_t n_pos_seq = 0;     // positions in this sequence
+    int64_t rolled_to = 0;     // next base index to ingest into roll_fwd
+    int64_t last_bad = -1;     // most recent non-ACGT base index
+    int cur_last_code = 0;     // 2-bit code of the last ingested base (0 if bad)
+    KM roll_fwd;
+    uint8_t carry_pay = 0;
+    bool carry_rep = false, carry_str = true;
+
+    void ingest_base(int64_t b)
+    {
+        char ch = chrom_seq[b];
+        u64 c;
+        switch (ch)
+        {
+            case 'A': case 'a': c = 0; break;
+            case 'C': case 'c': c = 1; break;
+            case 'T': case 't': c = 2; break;
+            case 'G': case 'g': c = 3; break;
+            default: c = 0; last_bad = b; break;
+        }
+        roll_fwd.shl2();
+        roll_fwd.w[W - 1] |= c;
+        roll_fwd.mask_top(P.k);
+        cur_last_code = (int)c;
+    }
+
+    // position i from payloads of q_i (carried) and q_{i+1} (current):
+    // the planes_from_pay / planes_from_pay_span math, one position at a
+    // time (find/scan_device.py:421-448, 240-269)
+    void pay_position(int64_t i, uint8_t pay_i, bool rep_i, bool str_i,
+                      uint8_t pay_i1, bool rep_i1, bool str_i1)
+    {
+        while (rolled_to < i + P.k) ingest_base(rolled_to++);
+        bool is_valid = last_bad < i;
+        unsigned ext_i, pre_i, ext_i1;
+        if (str_i) { ext_i = pay_i & 0xF; pre_i = (pay_i >> 4) & 0xF; }
+        else { ext_i = shuffle02((pay_i >> 4) & 0xF); pre_i = shuffle02(pay_i & 0xF); }
+        ext_i1 = str_i1 ? (pay_i1 & 0xF) : shuffle02((pay_i1 >> 4) & 0xF);
+        PosPlanes p;
+        p.fwd = roll_fwd;
+        p.contains = ((ext_i >> cur_last_code) & 1) != 0;
+        p.nb_out = p.contains ? popcount4(ext_i1) : 0;
+        p.nb_in = p.contains ? popcount4(pre_i) : 0;
+        p.sfx_rep = rep_i1;
+        p.pfx_rep = rep_i;
+        step_position(is_valid, p);
+    }
+
+    void feed_pay(const uint8_t* pay, const uint8_t* rep_bits,
+                  const uint8_t* str_bits, int64_t n) override
+    {
+        // entries are global payload indices [pay_fed, pay_fed + n);
+        // rep/str bit t (big-endian per byte, np.unpackbits order) belongs
+        // to this chunk's local entry t. str_bits == NULL means payloads
+        // are pre-oriented (the qp pair map) — strand reads as canonical.
+        for (int64_t t = 0; t < n; t++)
+        {
+            int64_t g = pay_fed + t;
+            if (g > n_pos_seq) break;  // ignore window padding past the end
+            uint8_t p_cur = pay[t];
+            bool r_cur = ((rep_bits[t >> 3] >> (7 - (t & 7))) & 1) != 0;
+            bool s_cur = str_bits ? (((str_bits[t >> 3] >> (7 - (t & 7))) & 1) != 0) : true;
+            if (g > 0)
+                pay_position(g - 1, carry_pay, carry_rep, carry_str, p_cur, r_cur, s_cur);
+            carry_pay = p_cur;
+            carry_rep = r_cur;
+            carry_str = s_cur;
+        }
+        pay_fed += n;
+    }
+
+    void feed_cls(const uint8_t* cls2, const uint16_t* exc16,
+                  int64_t n_exc, int64_t n) override
+    {
+        // reference-delta stream (find/scan_device.py scan_cls_device_qp):
+        // class 0 payloads are reconstructed from the sequence's own
+        // continuation (the device only emits 0 where both adjacent bases
+        // were real in ITS window view, so the chars here are real bases);
+        // class 1 is the zero payload; class 2 pops the next exception.
+        int64_t e = 0;
+        (void)n_exc;
+        for (int64_t t = 0; t < n; t++)
+        {
+            int64_t g = pay_fed + t;
+            if (g > n_pos_seq) break;
+            unsigned cls = (cls2[t >> 2] >> (2 * (t & 3))) & 3;
+            unsigned pay16;
+            if (cls == 0)
+            {
+                unsigned hi = base_code(chrom_seq[g + P.k - 1]);
+                unsigned lo = base_code(chrom_seq[g - 1]);
+                pay16 = (1u << hi) | ((1u << lo) << 4);
+            }
+            else if (cls == 1) pay16 = 0;
+            else pay16 = exc16[e++];
+            uint8_t p_cur = (uint8_t)(pay16 & 0xFF);
+            bool r_cur = (pay16 >> 8) & 1;
+            if (g > 0)
+                pay_position(g - 1, carry_pay, carry_rep, carry_str, p_cur, r_cur, true);
+            carry_pay = p_cur;
+            carry_rep = r_cur;
+            carry_str = true;
+        }
+        pay_fed += n;
+    }
+
+    static unsigned base_code(char ch)
+    {
+        switch (ch)
+        {
+            case 'C': case 'c': return 1;
+            case 'T': case 't': return 2;
+            case 'G': case 'g': return 3;
+            default: return 0;
+        }
+    }
+
     void scan(const char* name, const char* seq, int64_t seq_len, int64_t n,
               const uint8_t* valid_p, const u64* fwd_p, const uint8_t* contains_pl,
               const int32_t* nb_in_pl, const int32_t* nb_out_pl, const uint8_t* suffix_rep_pl,
               const uint8_t* prefix_rep_pl, const int64_t* bed, int64_t n_bed) override
     {
-        chrom_name = name;
-        chrom_seq = seq;
-        chrom_len = seq_len;
         valid = valid_p;
         fwd = fwd_p;
         contains_p = contains_pl;
@@ -884,76 +1134,27 @@ struct Scanner : IScanner
         suffix_rep_p = suffix_rep_pl;
         prefix_rep_p = prefix_rep_pl;
 
-        kmer_begin_valid = kmer_end_valid = false;
-        solid_stretch_size = gap_stretch_size = 0;
-        for (int q = 0; q < 256; q++) history[q] = Info();
-        het_end_index = (uint8_t)((P.k + 1) & 255);
-        het_begin_index = 1;
-        recent_hetero = 0;
-        position = 0;
+        begin_sequence(name, seq, seq_len, bed, n_bed);
 
-        if (n_bed < 0)  // no bed restriction
+        for (int64_t i = 0; i < n; i++)
         {
-            for (int64_t i = 0; i < n; i++)
+            if (bed_mode && bed_done) break;
+            PosPlanes p;
+            bool is_valid = valid[i] != 0;
+            if (is_valid)
             {
-                if (!valid[i])
-                {
-                    solid_stretch_size = 0;
-                    gap_stretch_size = 0;
-                    kmer_begin_valid = kmer_end_valid = false;
-                }
-                else
-                {
-                    u64 save_position = position;
-                    notify(i);
-                    position = save_position;
-                    previous_fwd = load_fwd(i);
-                    previous_valid = true;
-                }
-                position++;
-                het_begin_index++;
-                het_end_index++;
+                p.fwd = load_fwd(i);
+                p.contains = contains_p[i] != 0;
+                p.nb_in = nb_in_p[i];
+                p.nb_out = nb_out_p[i];
+                p.sfx_rep = suffix_rep_p[i] != 0;
+                p.pfx_rep = prefix_rep_p[i] != 0;
             }
-        }
-        else
-        {
-            if (n_bed == 0) return;
-            int64_t bi = 0;
-            u64 start_pos = (u64)bed[0], end_pos = (u64)bed[1];
-            for (int64_t i = 0; i < n; i++)
+            else
             {
-                if (position >= end_pos)
-                {
-                    bi++;
-                    if (bi >= n_bed / 2) break;
-                    start_pos = (u64)bed[2 * bi];
-                    end_pos = (u64)bed[2 * bi + 1];
-                }
-                if (!valid[i])
-                {
-                    solid_stretch_size = 0;
-                    gap_stretch_size = 0;
-                    kmer_begin_valid = kmer_end_valid = false;
-                }
-                if (position == start_pos - 1)
-                {
-                    solid_stretch_size = 0;
-                    gap_stretch_size = 0;
-                    kmer_begin_valid = kmer_end_valid = false;
-                    for (int q = 0; q < 256; q++) history[q] = Info();
-                }
-                if (valid[i] && position >= start_pos)
-                {
-                    u64 save_position = position;
-                    notify(i);
-                    position = save_position;
-                    previous_fwd = load_fwd(i);
-                    previous_valid = true;
-                }
-                position++;
-                het_begin_index++;
-                het_end_index++;
+                p = PosPlanes{KM(), false, 0, 0, false, false};
             }
+            step_position(is_valid, p);
         }
     }
 };
@@ -1018,6 +1219,29 @@ void scanner_scan_sequence(void* h, const char* chrom_name, const char* chrom_se
 {
     ((IScanner*)h)->scan(chrom_name, chrom_seq, chrom_len, n_pos, valid, fwd, contains,
                          nb_in, nb_out, suffix_rep, prefix_rep, bed, n_bed);
+}
+
+// Packed-payload mode: begin a sequence, then feed the fused payload byte
+// stream (+ bit-packed repeat and optional strand planes) in chunks; every
+// position is replayed as soon as its pay[i]/pay[i+1] pair is known, so the
+// host overlaps this with the next window's device compute. Output is
+// byte-identical to scanner_scan_sequence over expanded planes.
+void scanner_begin_sequence(void* h, const char* chrom_name, const char* chrom_seq,
+                            int64_t chrom_len, const int64_t* bed, int64_t n_bed)
+{
+    ((IScanner*)h)->begin_sequence(chrom_name, chrom_seq, chrom_len, bed, n_bed);
+}
+
+void scanner_feed_pay(void* h, const uint8_t* pay, const uint8_t* rep_bits,
+                      const uint8_t* str_bits, int64_t n)
+{
+    ((IScanner*)h)->feed_pay(pay, rep_bits, str_bits, n);
+}
+
+void scanner_feed_cls(void* h, const uint8_t* cls2, const uint16_t* exc16,
+                      int64_t n_exc, int64_t n)
+{
+    ((IScanner*)h)->feed_cls(cls2, exc16, n_exc, n);
 }
 
 int64_t scanner_bkpt_size(void* h) { return (int64_t)((IScanner*)h)->bkpt_out.size(); }

@@ -9,16 +9,17 @@ import pytest
 REF = "/root/reference"
 
 
-def run_find(tmp, out, automaton, extra=()):
+def run_find(tmp, out, automaton, extra=(), engine="host"):
     r = subprocess.run(
         ["python3", "bin/MindTheGap", "find",
          "-in", f"{REF}/data/reads_r1.fastq,{REF}/data/reads_r2.fastq",
          "-ref", f"{REF}/data/reference.fasta",
-         "-out", f"{tmp}/{out}", "-automaton", automaton, "-scan-engine", "host",
+         "-out", f"{tmp}/{out}", "-automaton", automaton, "-scan-engine", engine,
          *extra],
         capture_output=True, text=True, timeout=1200,
     )
     assert r.returncode == 0, r.stdout + r.stderr
+    return r
 
 
 def _records(path):
@@ -37,6 +38,36 @@ def test_native_matches_python(tmp_path, extra):
     run_find(tmp, "nat", "native", extra)
     assert open(f"{tmp}/py.breakpoints").read() == open(f"{tmp}/nat.breakpoints").read()
     assert _records(f"{tmp}/py.othervariants.vcf") == _records(f"{tmp}/nat.othervariants.vcf")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "engine,extra",
+    [
+        ("device-qp", ()),
+        ("device-qp", ("-bed", f"{REF}/test/full_test/gold.bed")),
+        ("sharded", ()),
+        ("device", ("-kmer-size", "45", "-abundance-min", "3")),
+        ("sharded", ("-kmer-size", "45", "-abundance-min", "3")),
+    ],
+    ids=["qp", "qp-bed", "sharded", "span", "sharded-span"],
+)
+def test_packed_pay_feed_matches_planes(tmp_path, engine, extra):
+    """The packed-payload native path (device payload stream fed straight
+    into the C automaton, find/runner.py _make_pay_feed_fn +
+    native/automaton.cpp scanner_feed_pay) must be byte-identical to the
+    plane path over the same engine family — covering the qp pair map
+    (k<=32), the span map (k>32), BED restriction, and the mesh-sharded
+    dispatchers."""
+    from mindthegap_tpu.find import native_scan
+
+    assert native_scan.available(), "native automaton failed to build"
+    tmp = str(tmp_path)
+    run_find(tmp, "pl", "python", extra, engine="host")
+    r = run_find(tmp, "pay", "native", extra, engine=engine)
+    assert "using plane path" not in r.stderr, r.stderr
+    assert open(f"{tmp}/pl.breakpoints").read() == open(f"{tmp}/pay.breakpoints").read()
+    assert _records(f"{tmp}/pl.othervariants.vcf") == _records(f"{tmp}/pay.othervariants.vcf")
 
 
 @pytest.mark.slow
