@@ -31,7 +31,7 @@ def _load():
     try:
         if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH):
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC_PATH],
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC_PATH],
                 check=True, capture_output=True,
             )
         lib = ctypes.CDLL(_LIB_PATH)

@@ -618,7 +618,9 @@ def _make_pay_feed_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: in
             targs = (jnp.asarray(qp.slots), jnp.asarray(qp.stash_keys),
                      jnp.asarray(qp.stash_l), jnp.asarray(qp.stash_r))
             window = 1 << 22
-            group = 8
+            group = 3  # small groups -> more pipeline stages: replay of
+            #            group g-1 overlaps device compute of group g
+            #            (dispatch overhead is ~28 ms warm, not ~1 s)
             exc_cap = (window - k + 2 + 3) // 4 * 4 // 8  # 12.5% of payload entries
 
             @jax.jit

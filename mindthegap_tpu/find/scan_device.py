@@ -458,9 +458,11 @@ def scan_cls_device_qp(packed, badbits, slots2, stash_k, stash_l, stash_r,
                     base(j-1), rep=0 — the unique-coverage common case;
                     the host automaton reconstructs it from the sequence
       cls 1 (ZERO): pay == 0 (gap interior)
-      cls 2 (EXC):  anything else — branching, repeat-marked, window-edge
-                    and N-adjacent payloads — shipped explicitly, compacted
-                    in payload order
+      cls 3 (REP):  REF payload with the repeat bit set (repeat-dense
+                    reference regions stay class-coded)
+      cls 2 (EXC):  anything else — branching, window-edge and N-adjacent
+                    payloads — shipped explicitly, compacted in payload
+                    order
 
     Output: 2-bit class stream (0.25 B/position) + exc16 u16[exc_cap] +
     n_exc. Device->host drops ~4x vs the packed payload stream (and ~16x vs
@@ -482,7 +484,9 @@ def scan_cls_device_qp(packed, badbits, slots2, stash_k, stash_l, stash_r,
     ref_pay = (jnp.uint64(1) << b_hi.astype(jnp.uint64)) | (
         (jnp.uint64(1) << b_lo.astype(jnp.uint64)) << jnp.uint64(4)
     )
-    cls = jnp.where(ok & (pay == ref_pay), jnp.uint8(0),
+    ref_hit = ok & ((pay & jnp.uint64(0xFF)) == ref_pay)
+    rep_bit = (pay >> jnp.uint64(8)) & jnp.uint64(1)
+    cls = jnp.where(ref_hit, jnp.where(rep_bit != 0, jnp.uint8(3), jnp.uint8(0)),
                     jnp.where(pay == 0, jnp.uint8(1), jnp.uint8(2)))
     q = cls.reshape(-1, 4)
     cls2 = (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6)).astype(jnp.uint8)

@@ -138,6 +138,22 @@ Kmer<W> canonical_n(const Kmer<W>& a, int nbases)
 
 const char NUC[5] = "ACTG";  // A=0 C=1 T=2 G=3
 
+// branchless char -> 2-bit code table (255 = invalid): a switch on random
+// bases mispredicts ~every position and dominated the payload replay loop
+struct CodeLut
+{
+    uint8_t v[256];
+    CodeLut()
+    {
+        memset(v, 0xFF, sizeof(v));
+        v['A'] = v['a'] = 0;
+        v['C'] = v['c'] = 1;
+        v['T'] = v['t'] = 2;
+        v['G'] = v['g'] = 3;
+    }
+};
+const CodeLut CODE_LUT;
+
 struct Params
 {
     int k;
@@ -1014,20 +1030,13 @@ struct Scanner : IScanner
 
     void ingest_base(int64_t b)
     {
-        char ch = chrom_seq[b];
-        u64 c;
-        switch (ch)
-        {
-            case 'A': case 'a': c = 0; break;
-            case 'C': case 'c': c = 1; break;
-            case 'T': case 't': c = 2; break;
-            case 'G': case 'g': c = 3; break;
-            default: c = 0; last_bad = b; break;
-        }
+        uint8_t c = CODE_LUT.v[(uint8_t)chrom_seq[b]];
+        last_bad = (c & 0x80) ? b : last_bad;   // cmov, no branch
+        u64 cv = (c & 0x80) ? 0 : c;            // invalid contributes 0 (plane-path parity)
         roll_fwd.shl2();
-        roll_fwd.w[W - 1] |= c;
+        roll_fwd.w[W - 1] |= cv;
         roll_fwd.mask_top(P.k);
-        cur_last_code = (int)c;
+        cur_last_code = (int)cv;
     }
 
     // position i from payloads of q_i (carried) and q_{i+1} (current):
@@ -1091,11 +1100,11 @@ struct Scanner : IScanner
             if (g > n_pos_seq) break;
             unsigned cls = (cls2[t >> 2] >> (2 * (t & 3))) & 3;
             unsigned pay16;
-            if (cls == 0)
+            if (cls == 0 || cls == 3)
             {
                 unsigned hi = base_code(chrom_seq[g + P.k - 1]);
                 unsigned lo = base_code(chrom_seq[g - 1]);
-                pay16 = (1u << hi) | ((1u << lo) << 4);
+                pay16 = (1u << hi) | ((1u << lo) << 4) | (cls == 3 ? 0x100u : 0u);
             }
             else if (cls == 1) pay16 = 0;
             else pay16 = exc16[e++];
@@ -1112,13 +1121,8 @@ struct Scanner : IScanner
 
     static unsigned base_code(char ch)
     {
-        switch (ch)
-        {
-            case 'C': case 'c': return 1;
-            case 'T': case 't': return 2;
-            case 'G': case 'g': return 3;
-            default: return 0;
-        }
+        // cls 0/3 entries are only emitted where the device saw real bases
+        return CODE_LUT.v[(uint8_t)ch] & 3;
     }
 
     void scan(const char* name, const char* seq, int64_t seq_len, int64_t n,
