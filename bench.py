@@ -62,7 +62,9 @@ SYNTH_CACHE = f"/tmp/mtg_bench_synth_k{K}_b{GENOME_BITS}_v1.npz"
 
 STAGE_DEADLINE_S = {
     "scan-q": 540, "scan-qb": 540, "scan-qp": 540, "count": 420, "fill": 540,
-    "count-streaming": 540, "scan-sharded-eff": 540, "scan-cli": 540,
+    "count-streaming": 540, "scan-sharded-eff": 900, "scan-cli": 540,
+    "mem-scan": 720, "mem-build": 720, "mem-build-partitioned": 720,
+    "scan-sharded-mem": 540,
 }
 
 # per-stage env overrides for the subprocess (scan-sharded-eff measures the
@@ -71,6 +73,11 @@ STAGE_DEADLINE_S = {
 # multi-chip scaling)
 STAGE_ENV = {
     "scan-sharded-eff": {
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PALLAS_AXON_POOL_IPS": "",
+    },
+    "scan-sharded-mem": {
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
         "PALLAS_AXON_POOL_IPS": "",
@@ -409,12 +416,23 @@ def stage_count_streaming():
 
 
 def stage_scan_sharded_eff():
-    """-scan-engine sharded scaling: the same fixed-shape dispatch-group
-    scan program on an 8-device mesh vs a 1-device mesh (bases/s each,
-    efficiency = rate_8 / (8 * rate_1)). On this machine the mesh is 8
-    virtual CPU devices over 2 physical cores, so the ceiling is ~2/8;
-    on a real pod the same stage measures ICI scaling (BASELINE.md:
-    '>= 80% scaling efficiency at 2+ hosts')."""
+    """-scan-engine sharded scaling: the fixed-shape dispatch-group scan
+    over an n-device mesh vs a 1-device mesh. On this machine the mesh is
+    8 virtual CPU devices over 2 physical cores AND the workload is
+    memory-bound (random 16-B row gathers into a ~2 GB replicated table +
+    the elementwise payload chain): two fully independent processes with
+    NO communication measure only ~1.16x one process (vs 1.89x for pure
+    ALU work on the same cores), so ~1.16x IS this box's aggregate ceiling
+    for this kernel, regardless of mechanism. The r5 per-device dispatcher
+    (mesh.py _perdev_group_dispatch; the CPU PJRT client executes SPMD
+    partitions sequentially, measured at ~100% of one core) reaches that
+    ceiling at n=2 (speedup_2dev ~1.13), where the r4 SPMD dispatch ran
+    BELOW the 1-device rate; the CLI engine clamps its CPU mesh to the
+    core count (mesh.py scan_mesh). rate_2proc is the REAL multi-process
+    (jax.distributed) engine with its allgather merge. On a real pod each
+    chip owns its table copy in its own HBM and the same engine scales
+    near-linearly (no cross-device communication until the host gather);
+    see docs/DISTRIBUTED.md 'CPU-mesh ceiling' for the methodology."""
     import jax
     import numpy as np
 
@@ -435,9 +453,8 @@ def stage_scan_sharded_eff():
         nwin = -(-npos // step)
 
         def once():
-            # the dispatcher ships packed payloads (r5); materialize the
-            # previous group's stream while the current one computes, the
-            # same discipline as the CLI's pay feed
+            # materialize the previous group's packed stream while the
+            # current one computes, the same discipline as the CLI feed
             pending = None
             for g0 in range(0, nwin, nd):
                 gn = min(nd, nwin - g0)
@@ -459,13 +476,215 @@ def stage_scan_sharded_eff():
 
     n = min(8, len(jax.devices()))
     r1 = run_on(1)
+    r2 = run_on(min(2, n))
     rn = run_on(n)
-    return {
+
+    # the meaningful scaling axis on this box: 2 PROCESSES (the multi-host
+    # path — independent runtimes on independent cores; inside one process
+    # the CPU PJRT client caps concurrency at ~1.3x no matter the mechanism,
+    # measured against a 1.9x independent-process ALU baseline)
+    r2proc = _scan_sharded_2proc()
+
+    out = {
         "rate": rn,
         "n_dev": n,
         "rate_1dev": round(r1),
+        "rate_2dev": round(r2),
         "efficiency": round(rn / (n * r1), 3),
+        "speedup_2dev": round(r2 / r1, 2),
     }
+    if r2proc:
+        out["rate_2proc"] = round(r2proc)
+        out["efficiency_2proc"] = round(r2proc / (2 * r1), 3)
+    return out
+
+
+def _scan_sharded_2proc():
+    """Aggregate rate of the REAL multi-process sharded scan: 2 jax.distributed
+    processes (1 CPU device each), global 2-device mesh, the same group
+    dispatcher with its process_allgather merge. Returns bases/s or None."""
+    import socket
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"localhost:{port}"
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "PALLAS_AXON_POOL_IPS": "",
+    })
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--stage", "scan-sharded-worker",
+             coord, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    try:
+        outs = [p.communicate(timeout=420) for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        return None
+    for (o, e), p in zip(outs, procs):
+        if p.returncode != 0:
+            sys.stderr.write(f"2proc worker rc={p.returncode}\n{e[-1500:]}\n")
+            return None
+    for line in outs[0][0].strip().splitlines()[::-1]:
+        try:
+            return float(json.loads(line)["rate"])
+        except Exception:
+            continue
+    return None
+
+
+def stage_scan_sharded_worker(coord, num_procs, pid):
+    """One process of the 2-process sharded-scan scaling measurement."""
+    import jax
+
+    from mindthegap_tpu.ops import extmap as X
+    from mindthegap_tpu.parallel import mesh as M
+    from mindthegap_tpu.parallel.distributed import global_mesh, init_distributed
+
+    init_distributed(coord, num_procs, pid)
+    genome, solid, repeat = _synth()
+    codes = genome[: 1 << 22]
+    qp = X.build_fused_pair(solid, K, repeat)
+    window = 1 << 20  # fewer groups -> fewer per-group collectives
+    step = window - (K - 1)
+    mesh = global_mesh()
+    dispatch, nd = M.make_sharded_scan_group_qp(mesh, qp, K, window)
+    npos = codes.size - K + 1
+    nwin = -(-npos // step)
+
+    def once():
+        pending = None
+        for g0 in range(0, nwin, nd):
+            gn = min(nd, nwin - g0)
+            wins = np.full((nd, window), 255, np.uint8)
+            for j in range(gn):
+                s = (g0 + j) * step
+                part = codes[s : s + window]
+                wins[j, : part.shape[0]] = part
+            res = dispatch(wins)
+            if pending is not None:
+                np.asarray(pending["pay8"])
+            pending = res
+        return int(np.asarray(pending["pay8"]).sum())
+
+    from jax.experimental import multihost_utils
+
+    once()  # compile + warm (includes the allgather path)
+    multihost_utils.sync_global_devices("bench2proc")
+    t0 = time.perf_counter()
+    once()
+    dt = time.perf_counter() - t0
+    if jax.process_index() == 0:
+        print(json.dumps({"rate": codes.size / dt}))
+
+
+def stage_scan_sharded_mem():
+    """Over-HBM membership scan rate (SURVEY.md §2.3 last row / §5.8): the
+    solid set sharded by contiguous key range across the mesh, every
+    membership probe (canonical + 8 neighbors per position) routed to its
+    owner shard via Bloom-prefiltered fixed-capacity all_to_all
+    (parallel/sharded_membership.py), driven through the CLI's own
+    `-scan-engine sharded-mem` plane builder. Per-chip footprint is
+    |solid|/n_dev keys instead of the full replicated map — the engine for
+    graphs that exceed one chip's HBM."""
+    from mindthegap_tpu.find.runner import _make_sharded_mem_plane_fn
+
+    genome, solid, repeat = _synth()
+    codes = genome[: 1 << 21]  # routed probes are ~9x the replicated path's
+    #   work per position; keep the stage bounded on the CPU mesh
+
+    class _Set:
+        def __init__(self, keys):
+            self.keys = keys
+            self.kmers = keys
+            self.span = None
+
+        def __len__(self):
+            return self.keys.size
+
+    class _G:
+        pass
+
+    g = _G()
+    g.solid = _Set(solid)
+    rs = _Set(repeat)
+
+    def no_host(_):
+        raise RuntimeError("sharded-mem unavailable")
+
+    fn = _make_sharded_mem_plane_fn(g, rs, K, no_host)
+    pl = fn(codes)  # compile + warm
+    t0 = time.perf_counter()
+    pl2 = fn(codes)
+    dt = time.perf_counter() - t0
+    assert int(pl.nb_in.sum()) == int(pl2.nb_in.sum()) > 0
+    import jax
+
+    return {"rate": codes.size / dt, "n_dev": len(jax.devices())}
+
+
+def _peak_rss_mb():
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def stage_mem(which: str):
+    """Peak host RSS (and device HBM high-water where the backend reports
+    it) of one pipeline phase on the genome-scale synthetic — the
+    reference's stated budget for a full human dataset is < 6 GB
+    (reference README.md:103; BASELINE.md third target). Phases:
+
+      scan             — the CLI find scan (packed feed + native automaton)
+                         over the 32-Mbase genome with its ~2 GB scan map
+      build            — graph-build counting, 128 Mbases of reads through
+                         the CLI's device streaming counter
+      build-partitioned— same reads through the out-of-core disk-partitioned
+                         counter with -max-memory 500 (the DSK budget path)
+    """
+    genome, _solid, _repeat = _synth()
+    extra = {}
+    if which == "scan":
+        out = stage_scan_cli()
+        extra["rate"] = round(out["rate"])
+    elif which == "build":
+        from mindthegap_tpu.ops.counting_device import DeviceStreamingCounter
+
+        reads = _reads_from(genome, 1 << 27)
+        ctr = DeviceStreamingCounter(K)
+        for r in reads:
+            ctr.add_codes(r)
+        res = ctr.result()
+        extra["distinct"] = int(res.kmers.size)
+    elif which == "build-partitioned":
+        from mindthegap_tpu.ops.counting import PartitionedCounter
+
+        reads = _reads_from(genome, 1 << 27)
+        ctr = PartitionedCounter(K, memory_mb=500)
+        for r in reads:
+            ctr.add_codes(r)
+        res = ctr.result()
+        extra["distinct"] = int(res.kmers.size)
+    else:
+        raise SystemExit(f"unknown mem phase {which}")
+    try:
+        import jax
+
+        ms = jax.devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in ms:
+            extra["peak_hbm_mb"] = round(ms["peak_bytes_in_use"] / (1 << 20), 1)
+    except Exception:
+        pass
+    return {"peak_rss_mb": round(_peak_rss_mb(), 1), **extra}
 
 
 # ---------------------------------------------------------------------------
@@ -549,6 +768,14 @@ def run_stage(name: str):
         out = stage_scan_cli()
     elif name == "scan-sharded-eff":
         out = stage_scan_sharded_eff()
+    elif name.startswith("mem-"):
+        out = stage_mem(name[4:])
+    elif name == "scan-sharded-mem":
+        out = stage_scan_sharded_mem()
+    elif name == "scan-sharded-worker":
+        i = sys.argv.index("--stage")
+        stage_scan_sharded_worker(sys.argv[i + 2], int(sys.argv[i + 3]), int(sys.argv[i + 4]))
+        return
     elif name == "fill":
         out = stage_fill()
     else:
@@ -611,6 +838,12 @@ def main():
     scan_cli_out = _spawn_stage("scan-cli")
     fill_out = _spawn_stage("fill")
     sharded_out = _spawn_stage("scan-sharded-eff")
+    shmem_out = _spawn_stage("scan-sharded-mem")
+    mem = {}
+    for ph in ("scan", "build", "build-partitioned"):
+        o = _spawn_stage(f"mem-{ph}")
+        if o:
+            mem[ph] = o
 
     scan_rate = max(scan_engines.values()) if scan_engines else 0
     count_rate = count_out["rate"] if count_out else 0
@@ -633,9 +866,12 @@ def main():
             "scan_cli_bases_per_s": round((scan_cli_out or {}).get("rate", 0)),
             "scan_sharded": {
                 k: sharded_out[k]
-                for k in ("rate", "n_dev", "rate_1dev", "efficiency")
+                for k in ("rate", "n_dev", "rate_1dev", "rate_2dev", "efficiency",
+                          "speedup_2dev", "rate_2proc", "efficiency_2proc")
                 if sharded_out and k in sharded_out
             } or None,
+            "scan_sharded_mem": shmem_out or None,
+            "memory": mem or None,
             "baseline": "pinned host oracle (BASELINE.json published)" if published else "pinned defaults",
         },
     }

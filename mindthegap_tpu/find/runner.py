@@ -358,7 +358,7 @@ def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 <
         from .scan import Planes
         from .scan_device import planes_from_pay
 
-        mesh = M.make_mesh()
+        mesh = M.scan_mesh()
         use_qp = k <= 32  # pair-coalesced map; spans ride the packed
         #                   multi-word map (make_sharded_scan_group_span)
         if use_qp:
@@ -577,7 +577,7 @@ def _make_pay_feed_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: in
         if engine == "sharded":
             from ..parallel import mesh as M
 
-            mesh = M.make_mesh()
+            mesh = M.scan_mesh()
             window = 1 << 22 if not span_mode else 1 << 21
             if span_mode:
                 qms = _build_span_map(graph, repeat_set, k)

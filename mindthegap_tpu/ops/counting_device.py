@@ -37,33 +37,44 @@ SEP = 255  # read separator / invalid base code
 class DeviceStreamingCounter:
     """Drop-in for ops/counting.py StreamingCounter (k <= 32): batches of
     base codes are concatenated with separators into fixed-size device
-    buffers; each flush extracts+sorts on device and merges the run on host."""
+    buffers; each flush extracts+sorts+RLEs on device and MERGES INTO A
+    DEVICE-RESIDENT accumulator (merge_distinct_device) — nothing but one
+    scalar (the running distinct count, which doubles as the
+    capacity-overflow check and the buffer-reuse sync) crosses the host
+    boundary until result(). Uploads are 2-bit packed (+ bad/separator
+    bitmask): 0.375 B/base instead of 1. The r4 version transferred every
+    flush's distinct prefix (~12 B/distinct) and merged on host, which held
+    the CLI wrapper at a quarter of the one-shot kernel's rate."""
 
-    def __init__(self, k: int, batch_bases: int = 1 << 23):
+    def __init__(self, k: int, batch_bases: int = 1 << 23, init_cap: int = 1 << 20):
         assert k <= 32, "device counter: k <= 32 (host counter covers larger spans)"
         self.k = k
-        self._batch = int(batch_bases)
+        self._batch = int(batch_bases) & ~7  # pack_codes_host needs n % 8 == 0
         # the mid-read flush rewinds k-1 bases; the per-iteration advance must
         # exceed the rewind or add_codes never progresses
         assert self._batch >= 2 * k, "batch_bases must be >= 2*k"
-        # TWO staging buffers, used alternately: the dispatched program may
-        # alias its input numpy buffer zero-copy AND run asynchronously
-        # (jnp.array's copy is not synchronous on every backend — the
-        # original flush race), so a buffer is only reused after the merge
-        # of ITS program has materialized (which synchronizes it). One
-        # flush stays in flight: batch g's result transfer (~0.35 s through
-        # a remote relay) overlaps batch g+1's compute.
+        # TWO staging buffers, used alternately: a buffer is only refilled
+        # after the flush that read it has been synced (scalar readback of
+        # its merge's distinct count). One flush stays in flight.
         self._bufs = [np.full(self._batch, SEP, np.uint8) for _ in range(2)]
         self._cur = 0
         self._fill = 0
-        self._sorted = np.zeros(0, np.uint64)
-        self._counts = np.zeros(0, np.int64)
-        self._pending = None
+        self._cap = int(init_cap)
+        self._acc = None  # (keys_dev[cap], counts_dev[cap]) sorted distinct
+        self._acc_n = 0
+        self._pending = None  # (acc_prev, batch_triple, merge_triple, cap)
 
     def add_codes(self, codes: np.ndarray):
         codes = np.asarray(codes, np.uint8)
-        pos = 0
         n = codes.size
+        fill = self._fill
+        if n + 1 <= self._batch - fill:  # whole read fits: no loop, no min()
+            buf = self._bufs[self._cur]
+            buf[fill : fill + n] = codes
+            buf[fill + n] = SEP
+            self._fill = fill + n + 1
+            return
+        pos = 0
         while True:
             take = min(n - pos, self._batch - self._fill)
             self._buf[self._fill : self._fill + take] = codes[pos : pos + take]
@@ -86,44 +97,77 @@ class DeviceStreamingCounter:
         return self._bufs[self._cur]
 
     def _flush(self):
+        from ..find.scan_device import pack_codes_host
+
         if self._fill == 0:
             return
         buf = self._bufs[self._cur]
         buf[self._fill :] = SEP
-        # fused device extract+sort+RLE; only the distinct prefix crosses
-        # the host boundary (~1/coverage of the raw k-mer stream). The
-        # dispatched program may alias `buf` zero-copy and run async —
-        # NEVER touch `buf` again until its merge has materialized.
-        dispatched = count_batch_device(jnp.asarray(buf), self.k)
-        prev, self._pending = self._pending, dispatched
+        packed, bad = pack_codes_host(buf)
+        b = count_batch_device_packed(jnp.asarray(packed), jnp.asarray(bad), self.k)
+        # sync the PREVIOUS flush while the device starts on this batch:
+        # its scalar distinct count confirms capacity and implies the
+        # buffer we are about to switch to is no longer read by any program
+        prev, self._pending = self._pending, None
+        if prev is not None:
+            self._sync(prev)
+        if self._acc is None:
+            self._acc = (b[0], b[1])
+            # first flush: acc IS the batch result (capacity = batch slots);
+            # fold into the fixed-cap accumulator on the next merge
+            self._pending = (None, b, (b[0], b[1], b[2]), None)
+        else:
+            # the previous sync pinned the accumulator's distinct count —
+            # merge only its occupied prefix (128K-granular slice: bounded
+            # program shapes), not the dead SENTINEL tail
+            gran = 1 << 17
+            alen = int(self._acc[0].shape[0])
+            m_pad = min(-(-max(self._acc_n, 1) // gran) * gran, alen)
+            ak = self._acc[0][:m_pad] if m_pad < alen else self._acc[0]
+            ac = self._acc[1][:m_pad] if m_pad < alen else self._acc[1]
+            m = merge_distinct_device(ak, ac, b[0], b[1], self._cap)
+            self._pending = (self._acc, b, m, self._cap)
+            self._acc = (m[0], m[1])
         self._cur ^= 1
         self._fill = 0
-        if prev is not None:
-            # blocks until the in-flight program that read the buffer we
-            # are switching TO has finished — only then is it reusable
-            self._merge_done(prev)
         self._bufs[self._cur][:] = SEP
 
-    def _merge_done(self, triple):
-        keys_d, counts_d, nd_d = triple
-        nd = int(nd_d)
-        if nd == 0:
-            return
-        u = np.asarray(keys_d[:nd])
-        c = np.asarray(counts_d[:nd]).astype(np.int64)
-        self._sorted, self._counts = _merge_runs(self._sorted, self._counts, u, c)
+    def _sync(self, prev):
+        acc_prev, b, m, cap = prev
+        nd = int(m[2])
+        if cap is not None and nd > cap:
+            # capacity overflow: the truncated merge is wrong — grow and
+            # redo from the kept inputs (both still alive on device)
+            while nd > self._cap:
+                self._cap *= 2
+            m = merge_distinct_device(acc_prev[0], acc_prev[1], b[0], b[1], self._cap)
+            self._acc = (m[0], m[1])
+            nd = int(m[2])
+        self._acc_n = nd
 
     def result(self):
         from .counting import HISTOGRAM_MAX, CountResult
 
         self._flush()
         if self._pending is not None:
-            self._merge_done(self._pending)
+            self._sync(self._pending)
             self._pending = None
+        if self._acc is None:
+            return CountResult(
+                np.zeros(0, np.uint64), np.zeros(0, np.int64),
+                np.zeros(HISTOGRAM_MAX + 1, np.int64), self.k,
+            )
+        n = self._acc_n
+        # slice to a 128K-granular length before the transfer: near-exact
+        # data volume with a bounded, cacheable set of slice program shapes
+        # (a fresh shape means a fresh compile on a relay)
+        gran = 1 << 17
+        n_pad = min(-(-max(n, 1) // gran) * gran, int(self._acc[0].shape[0]))
+        keys = np.asarray(self._acc[0][:n_pad])[:n]
+        counts = np.asarray(self._acc[1][:n_pad])[:n].astype(np.int64)
         hist = np.zeros(HISTOGRAM_MAX + 1, np.int64)
-        clipped = np.minimum(self._counts, HISTOGRAM_MAX)
-        np.add.at(hist, clipped, 1)
-        return CountResult(self._sorted, self._counts, hist, self.k)
+        np.add.at(hist, np.minimum(counts, HISTOGRAM_MAX), 1)
+        return CountResult(keys, counts, hist, self.k)
 
 
 def _merge_runs(sorted_a, counts_a, u, c):
@@ -141,6 +185,50 @@ def _merge_runs(sorted_a, counts_a, u, c):
     out_counts = np.zeros(int(idx[-1]) + 1, np.int64)
     np.add.at(out_counts, idx, mcounts)
     return merged[uniq_mask], out_counts
+
+
+@partial(jax.jit, static_argnames=("k",))
+def count_batch_device_packed(packed, bad, k: int):
+    """count_batch_device over the 2-bit packed upload format
+    (find/scan_device.py pack_codes_host): separators/invalid bases ride
+    the bad bitmask and unpack back to 255 on device."""
+    from ..find.scan_device import unpack_codes_device
+
+    return count_batch_device(unpack_codes_device(packed, bad), k)
+
+
+@partial(jax.jit, static_argnames=("out_cap",))
+def merge_distinct_device(acc_keys, acc_counts, new_keys, new_counts, out_cap: int):
+    """Merge two sorted distinct (keys, counts) sets ON DEVICE, summing
+    counts of equal keys (each key appears at most once per input), and
+    compact into the first `out_cap` slots (SENTINEL padding after).
+    Returns (keys u64[out_cap], counts i32[out_cap], n_distinct i32);
+    n_distinct > out_cap means the output was truncated — the caller grows
+    the capacity and re-runs with the kept inputs."""
+    keys = jnp.concatenate([acc_keys, new_keys])
+    cnts = jnp.concatenate([acc_counts.astype(jnp.int32), new_counts.astype(jnp.int32)])
+    keys, cnts = jax.lax.sort((keys, cnts), num_keys=1)
+    n = keys.shape[0]
+    live = keys != SENTINEL
+    same_next = jnp.concatenate([keys[1:] == keys[:-1], jnp.zeros(1, bool)]) & live
+    nxt = jnp.concatenate([cnts[1:], jnp.zeros(1, cnts.dtype)])
+    csum = cnts + jnp.where(same_next, nxt, 0)
+    newrun = jnp.concatenate([jnp.ones(1, bool), keys[1:] != keys[:-1]]) & live
+    n_distinct = jnp.sum(newrun.astype(jnp.int32))
+    # tuple-sort compaction (run starts to the front, key order preserved).
+    # NOT a cumsum+scatter: an 8M-element indexed scatter lowers to ~per-
+    # element DMA on this TPU and ran ~6x slower than the sort (measured).
+    notstart = (~newrun).astype(jnp.uint8)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, _, keys_c, csum_c = jax.lax.sort((notstart, idx, keys, csum), num_keys=2)
+    in_prefix = jnp.arange(out_cap, dtype=jnp.int32) < n_distinct
+    pad = max(out_cap - n, 0)
+    if pad:
+        keys_c = jnp.concatenate([keys_c, jnp.full(pad, SENTINEL, keys_c.dtype)])
+        csum_c = jnp.concatenate([csum_c, jnp.zeros(pad, csum_c.dtype)])
+    keys_out = jnp.where(in_prefix, keys_c[:out_cap], SENTINEL)
+    cnts_out = jnp.where(in_prefix, csum_c[:out_cap], 0)
+    return keys_out, cnts_out, n_distinct
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -165,14 +253,16 @@ def count_batch_device(codes, k: int):
     n_valid = jnp.sum((s != SENTINEL).astype(jnp.int32))
     newrun = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]]) & (s != SENTINEL)
     n_distinct = jnp.sum(newrun.astype(jnp.int32))
+    # tuple-sort compaction — run starts move to the front already in key
+    # order; count of run i = next start position - its own (tail closed by
+    # n_valid). NOT a cumsum+scatter: an 8M-element indexed scatter lowers
+    # to ~per-element DMA on this TPU and ran ~6x slower (measured).
     notstart = (~newrun).astype(jnp.uint8)
     pos = jnp.arange(n, dtype=jnp.int32)
     _, keys_c, pos_c = jax.lax.sort((notstart, s, pos), num_keys=2)
-    # run starts occupy the first n_distinct slots in key order; count of
-    # run i = next start position - its own (tail closed by n_valid)
     pos_next = jnp.concatenate([pos_c[1:], jnp.zeros(1, jnp.int32)])
-    in_prefix = jnp.arange(n, dtype=jnp.int32) < n_distinct
-    nxt = jnp.where(jnp.arange(n, dtype=jnp.int32) == n_distinct - 1, n_valid, pos_next)
+    in_prefix = pos < n_distinct
+    nxt = jnp.where(pos == n_distinct - 1, n_valid, pos_next)
     counts = jnp.where(in_prefix, nxt - pos_c, 0)
     keys_out = jnp.where(in_prefix, keys_c, SENTINEL)
     return keys_out, counts, n_distinct

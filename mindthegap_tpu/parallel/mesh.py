@@ -36,6 +36,20 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def scan_mesh(axis: str = "shard") -> Mesh:
+    """Mesh for the window-sharded scan engines. On a single-host CPU
+    backend the device count is clamped to the physical core count — the
+    virtual devices beyond it only add dispatch overhead and table copies
+    (measured: 8 virtual devices on 2 cores run ~0.6x of 2)."""
+    import os
+
+    devs = jax.devices()
+    n = len(devs)
+    if jax.process_count() == 1 and jax.default_backend() == "cpu":
+        n = min(n, os.cpu_count() or n)
+    return make_mesh(n, axis)
+
+
 def sharded_scan(mesh: Mesh, windows: np.ndarray, solid_sorted, repeat_sorted, k: int):
     """Run the find-scan plane pass over [n_windows, W] windows sharded on
     the mesh; windows must carry their k-1 halo already. Returns stacked
@@ -55,7 +69,95 @@ def sharded_scan(mesh: Mesh, windows: np.ndarray, solid_sorted, repeat_sorted, k
     return jax.tree.map(np.asarray, run(windows_d, solid_d, repeat_d))
 
 
-def make_sharded_scan_group_qp(mesh: Mesh, qp, k: int, window: int):
+class _LazyStack:
+    """Per-device async results presented as one stackable array: np.asarray
+    blocks and stacks; until then every device's execution stays in flight
+    (the caller's double-buffering relies on dispatch returning before the
+    group completes)."""
+
+    def __init__(self, parts):
+        self.parts = parts
+
+    def __array__(self, dtype=None, copy=None):
+        a = np.stack([np.asarray(p) for p in self.parts])
+        return a.astype(dtype) if dtype is not None else a
+
+    def __getitem__(self, i):
+        return np.asarray(self.parts[i])
+
+
+class _LazyAllgather:
+    """Multi-host sibling of _LazyStack: local per-device results stay in
+    flight until np.asarray, which materializes the local shard and
+    process_allgathers the global stack — so the collective for group g-1
+    overlaps the local compute of group g. All processes materialize the
+    same keys in the same order (same program), keeping collectives
+    aligned."""
+
+    def __init__(self, parts):
+        self.parts = parts
+        self._cached = None
+
+    def __array__(self, dtype=None, copy=None):
+        if self._cached is None:
+            from jax.experimental import multihost_utils
+
+            loc = np.stack([np.asarray(p) for p in self.parts])
+            self._cached = np.asarray(multihost_utils.process_allgather(loc, tiled=True))
+        a = self._cached
+        return a.astype(dtype) if dtype is not None else a
+
+    def __getitem__(self, i):
+        # NOTE: triggers (one) collective — all processes must index the
+        # same keys in the same order, which the shared feed loop guarantees
+        return self.__array__()[i]
+
+
+def _perdev_group_dispatch(mesh: Mesh, kernel, table_arrays, window: int):
+    """Per-device-executable group dispatcher: each device gets its own
+    committed table copy and its own jit instance of `kernel(row, *tables)`;
+    a group dispatch launches one execution per device and returns lazily.
+
+    Why not one SPMD program: the scan is an embarrassingly parallel map
+    (zero cross-device communication until the host-side merge), and the
+    CPU PJRT client executes an SPMD program's per-device partitions
+    SEQUENTIALLY (measured: an 8-virtual-device sharded jit runs at ~100%
+    of one core; independent per-device executions overlap). Under
+    multi-host each process computes its contiguous row block locally and
+    the global stack materializes through a LAZY process_allgather — the
+    group g-1 collective overlaps group g's local compute. The SPMD
+    variant remains behind force_spmd (the multichip dryrun compiles it)."""
+    flat = list(mesh.devices.flat)
+    n_dev = len(flat)
+    multi = jax.process_count() > 1
+    if multi:
+        pid = jax.process_index()
+        local_ids = [i for i, d in enumerate(flat) if d.process_index == pid]
+        # tiled allgather reassembles in process order: rows must be a
+        # contiguous block per process
+        assert local_ids == list(range(local_ids[0], local_ids[0] + len(local_ids)))
+    else:
+        local_ids = list(range(n_dev))
+    devs = [flat[i] for i in local_ids]
+    tabs = [
+        tuple(jax.device_put(jnp.asarray(t), d) for t in table_arrays) for d in devs
+    ]
+    fn = jax.jit(kernel)
+    wrap = _LazyAllgather if multi else _LazyStack
+
+    def dispatch(wins: np.ndarray):
+        assert wins.shape == (n_dev, window)
+        outs = [
+            fn(jax.device_put(wins[gi], d), *tabs[j])
+            for j, (gi, d) in enumerate(zip(local_ids, devs))
+        ]
+        keys = outs[0].keys()
+        return {key: wrap([o[key] for o in outs]) for key in keys}
+
+    return dispatch, n_dev
+
+
+def make_sharded_scan_group_qp(mesh: Mesh, qp, k: int, window: int, force_spmd: bool = False):
     """Persistent window-sharded scanner over the pair-coalesced map:
     replicated tables are placed on the mesh ONCE; the returned callable
     dispatches a fixed [n_dev, window] group (one compile for the whole
@@ -71,6 +173,16 @@ def make_sharded_scan_group_qp(mesh: Mesh, qp, k: int, window: int):
     automaton (find/native_scan.py scan_sequence_pay). Single-host dispatch
     shards the window group via jit in_shardings (no per-group device_put)."""
     from ..find.scan_device import scan_pay_device_qp
+
+    if not force_spmd and (jax.process_count() > 1 or jax.default_backend() == "cpu"):
+        # embarrassingly parallel map: per-device executables + lazy
+        # host-side gather beat one SPMD program (see _perdev_group_dispatch)
+        return _perdev_group_dispatch(
+            mesh,
+            lambda row, *t: scan_pay_device_qp(row, *t, qp.log_size, k),
+            (qp.slots, qp.stash_keys, qp.stash_l, qp.stash_r),
+            window,
+        )
 
     axis = mesh.axis_names[0]
     win_sharding = NamedSharding(mesh, P(axis, None))
@@ -107,13 +219,21 @@ def make_sharded_scan_group_qp(mesh: Mesh, qp, k: int, window: int):
     return dispatch, n_dev
 
 
-def make_sharded_scan_group_span(mesh: Mesh, qms, k: int, window: int):
+def make_sharded_scan_group_span(mesh: Mesh, qms, k: int, window: int, force_spmd: bool = False):
     """Span (32 < k <= 256) sibling of make_sharded_scan_group_qp: windows
     sharded over the mesh, the multi-word quotient map replicated and
     placed once, fixed [n_dev, window] dispatch shape, PACKED outputs
     (payload byte + bit-packed repeat/strand planes — the host rebuilds
     the planes with planes_from_pay_span)."""
     from ..find.scan_device import scan_pay_device_q_span
+
+    if not force_spmd and (jax.process_count() > 1 or jax.default_backend() == "cpu"):
+        return _perdev_group_dispatch(
+            mesh,
+            lambda row, *t: scan_pay_device_q_span(row, *t, qms.salt, qms.log_size, k),
+            (qms.slots, qms.sat, qms.stash_key64, qms.stash_sat, qms.stash_payload),
+            window,
+        )
 
     axis = mesh.axis_names[0]
     win_sharding = NamedSharding(mesh, P(axis, None))
@@ -263,7 +383,9 @@ def pipeline_step(mesh: Mesh, read_codes: np.ndarray, windows: np.ndarray, solid
     # persistent group dispatcher — exercise the same path here so the
     # dryrun guards it (tables placed once, fixed [n_dev, window] shape)
     qp = X.build_fused_pair(np.asarray(solid_sorted, np.uint64), k, np.asarray(repeat_sorted, np.uint64))
-    dispatch, nd = make_sharded_scan_group_qp(mesh, qp, k, windows.shape[1])
+    # force the SPMD path: the dryrun exists to validate the multi-chip
+    # sharded compile, not the CPU per-device fallback
+    dispatch, nd = make_sharded_scan_group_qp(mesh, qp, k, windows.shape[1], force_spmd=True)
     group = np.full((nd, windows.shape[1]), 255, np.uint8)
     group[: min(nd, windows.shape[0])] = windows[:nd]
     planes = jax.tree.map(np.asarray, dispatch(group))
