@@ -321,12 +321,9 @@ class Filler:
         if nproc > 1:
             from ..parallel.distributed import allgather_object, shard_bounds
 
-            if self.fill_engine == "device":
-                sys.stderr.write(
-                    "Warning: -fill-engine device is per-process under multi-host; using host engines\n"
-                )
-                self.fill_engine = "auto"
-                self.view.enable_native(self.policy)
+            # -fill-engine device stays honored: each process runs the
+            # batched walker on its own job shard with its local device(s)
+            # (the multi-host Dispatcher fan-out, src/Filler.cpp:824,844)
             lo, hi = shard_bounds(len(jobs), nproc, jax.process_index())
             # no fork pool inside a jax.distributed process: jax's runtime
             # threads make os.fork() deadlock-prone, and the native engine
@@ -346,27 +343,30 @@ class Filler:
         engine = self.fill_engine
         if engine == "device-qb":
             engine = "device"  # same dispatch; the view/walker carry the layout
-        if engine == "device" and self.view.qm is None:
-            sys.stderr.write("Warning: -fill-engine device requires kmer-size <= 32; using host\n")
+        if engine == "device" and self.view.qm is None and self.k > 256:
+            sys.stderr.write("Warning: -fill-engine device requires kmer-size <= 256; using host\n")
             engine = "host"
         if engine == "device":
             from .walk_device import BatchWalker, run_jobs_batched
 
-            # job lanes ride the whole device mesh when one is available
-            # (shard_map over the largest power-of-two device count) — the
-            # multi-chip Dispatcher fan-out (src/Filler.cpp:824,844)
-            mesh = None
-            try:
-                import jax
-
-                n = len(jax.devices())
-                if n > 1:
-                    from ..parallel.mesh import make_mesh
-
-                    mesh = make_mesh(1 << (n.bit_length() - 1))
-            except Exception:
+            if self.view.qm is not None:  # k <= 32: u64 lanes
+                # job lanes ride the whole device mesh when one is available
+                # (shard_map over the largest power-of-two device count) —
+                # the multi-chip Dispatcher fan-out (src/Filler.cpp:824,844)
                 mesh = None
-            walker = BatchWalker(self.view.qm, self.k, mesh=mesh)
+                try:
+                    import jax
+
+                    n = len(jax.devices())
+                    if n > 1 and jax.process_count() == 1:
+                        from ..parallel.mesh import make_mesh
+
+                        mesh = make_mesh(1 << (n.bit_length() - 1))
+                except Exception:
+                    mesh = None
+                walker = BatchWalker(self.view.qm, self.k, mesh=mesh)
+            else:  # 32 < k <= 256: multi-word lanes over the span map
+                walker = BatchWalker(self.view.ensure_span_map(), self.k)
             gens = [co_fn(*j) for j in jobs]
             yield from run_jobs_batched(gens, walker)
         else:

@@ -125,6 +125,94 @@ def walk_batch_device(nodes, budgets, slots, stash_k, stash_v, log_size: int, k:
     return bases.T, n_app, node, status
 
 
+def _mask_top_span(words, nbases: int):
+    """Keep the low 2*nbases bits of a (W, J) span value (word 0 most
+    significant) — the jnp sibling of native Kmer::mask_top."""
+    w = words.shape[0]
+    full = (2 * nbases) // 64
+    rem = 2 * nbases - full * 64
+    outs = []
+    for i in range(w):
+        from_low = w - 1 - i
+        if from_low < full:
+            outs.append(words[i])
+        elif from_low == full and rem:
+            outs.append(words[i] & jnp.uint64((1 << rem) - 1))
+        else:
+            outs.append(jnp.zeros_like(words[i]))
+    return jnp.stack(outs)
+
+
+def _shl2_span(words):
+    """(W, J) span value <<= 2 (no mask)."""
+    w = words.shape[0]
+    outs = []
+    for i in range(w - 1):
+        outs.append((words[i] << jnp.uint64(2)) | (words[i + 1] >> jnp.uint64(62)))
+    outs.append(words[w - 1] << jnp.uint64(2))
+    return jnp.stack(outs)
+
+
+@partial(jax.jit, static_argnames=("salt", "log_size", "k", "steps"))
+def walk_batch_device_span(nodes, budgets, slots, sat, stash_k64, stash_sat, stash_v,
+                           salt: int, log_size: int, k: int, steps: int):
+    """Span sibling (32 < k <= 256) of walk_batch_device: J simple-path
+    walks over the multi-word fused quotient map (ops/extmap.py QMapSpan,
+    reference traversal at KSIZE spans — src/Filler.cpp:866-884 is span-
+    templated, README.md:172-180). nodes: u64[J, Wk] span rows (word 0
+    most significant). Same contract/stop reasons as the u64 kernel."""
+    from ..ops import span_device as SD
+
+    qm = X.QMapSpan(slots, sat, log_size, salt, stash_k64, stash_sat, stash_v)
+    wk = nodes.shape[1]
+    wq = SD.span_width(k - 1)
+
+    def ext_pre_of(nodesT):
+        q = _mask_top_span(nodesT, k - 1)[wk - wq :]
+        cq, is_c = SD.canonical_span_device(q, k - 1)
+        pay16 = X.lookup_q_span(qm, cq, xp=jnp)
+        pay8 = (pay16 & jnp.uint16(0xFF)).astype(jnp.uint8)
+        return X._oriented(pay8, is_c, jnp)
+
+    nodesT = nodes.T  # (Wk, J)
+    ext0, pre0 = ext_pre_of(nodesT)
+
+    def step(carry, _):
+        node, ext, pre, n_app, status = carry
+        within = n_app < budgets
+        live = (status == STATUS_RUNNING) & within
+
+        cnt_out = _popcount4(ext)
+        tip = cnt_out == 0
+        fork = cnt_out > 1
+        x = (((ext >> 1) & 1) + 2 * ((ext >> 2) & 1) + 3 * ((ext >> 3) & 1)).astype(jnp.uint64)
+        nxt = _shl2_span(node)
+        nxt = nxt.at[wk - 1].set(nxt[wk - 1] | x)
+        nxt = _mask_top_span(nxt, k)
+        merge = _popcount4(pre) != 1
+
+        ext2, pre2 = ext_pre_of(nxt)
+        branch2 = _popcount4(ext2) != 1
+
+        stop_tip = live & tip
+        stop_event = live & ~tip & (fork | merge | branch2)
+        append = live & ~tip & ~fork & ~merge & ~branch2
+
+        base_out = jnp.where(append, x.astype(jnp.uint8), jnp.uint8(NO_BASE))
+        status = jnp.where(stop_tip, jnp.uint8(STATUS_TIP), status)
+        status = jnp.where(stop_event, jnp.uint8(STATUS_EVENT), status)
+        node = jnp.where(append[None, :], nxt, node)
+        ext = jnp.where(append, ext2, ext)
+        pre = jnp.where(append, pre2, pre)
+        n_app = n_app + append.astype(jnp.int32)
+        return (node, ext, pre, n_app, status), base_out
+
+    zeros = budgets & jnp.int32(0)
+    init = (nodesT, ext0, pre0, zeros, zeros.astype(jnp.uint8))
+    (nodeT, _, _, n_app, status), bases = jax.lax.scan(step, init, None, length=steps)
+    return bases.T, n_app, nodeT.T, status
+
+
 class BatchWalker:
     """Host driver: satisfies batches of ("walk", node, budget) requests with
     walk_batch_device, re-invoking in `steps`-sized chunks until every lane
@@ -143,6 +231,26 @@ class BatchWalker:
         # seconds) — overshooting steps is nearly free, undershooting
         # multiplies round trips, so start big and escalate fast
         self.k = k
+        if isinstance(qmap, X.QMapSpan):
+            self.layout = "span"
+            from ..ops.span_device import span_width
+
+            self._wk = span_width(k)
+            self.log_size = qmap.log_size
+            self.salt = qmap.salt
+            self.sat = jnp.asarray(qmap.sat)
+            self.stash_sat = jnp.asarray(qmap.stash_sat)
+            self.slots = jnp.asarray(qmap.slots)
+            self.stash_k = jnp.asarray(qmap.stash_key64)
+            self.stash_v = jnp.asarray(qmap.stash_payload)
+            self.min_lanes = min_lanes
+            self.steps = steps
+            self.max_steps = max_steps
+            self.mesh = None  # span lanes ride one device; mesh sharding
+            #                   covers k <= 32 (the u64 row layout)
+            self.n_device_calls = 0
+            self.n_walked = 0
+            return
         self.layout = "bucket" if isinstance(qmap, X.QMapB) else "cuckoo"
         self.log_size = qmap.log_nb if self.layout == "bucket" else qmap.log_size
         self.mesh = mesh
@@ -171,6 +279,12 @@ class BatchWalker:
         self.n_walked = 0
 
     def _call_device(self, nodes, budgets, steps: int):
+        if self.layout == "span":
+            return walk_batch_device_span(
+                nodes, budgets, self.slots, self.sat, self.stash_k,
+                self.stash_sat, self.stash_v, self.salt, self.log_size,
+                self.k, steps,
+            )
         if self.mesh is None:
             return walk_batch_device(
                 nodes, budgets, self.slots, self.stash_k, self.stash_v,
@@ -200,10 +314,21 @@ class BatchWalker:
         if n == 0:
             return []
         lanes = max(self.min_lanes, 1 << (n - 1).bit_length())
-        nodes = np.zeros(lanes, np.uint64)
+        span = self.layout == "span"
+        if span:
+            wk = self._wk
+            nodes = np.zeros((lanes, wk), np.uint64)
+            m64 = (1 << 64) - 1
+            for i, (node, budget) in enumerate(requests):
+                v = int(node)
+                for w in range(wk):
+                    nodes[i, wk - 1 - w] = (v >> (64 * w)) & m64
+        else:
+            nodes = np.zeros(lanes, np.uint64)
         budgets = np.zeros(lanes, np.int32)
         for i, (node, budget) in enumerate(requests):
-            nodes[i] = node
+            if not span:
+                nodes[i] = node
             budgets[i] = max(budget, 0)
 
         out_bases: list[list[int]] = [[] for _ in range(n)]
@@ -234,7 +359,13 @@ class BatchWalker:
         for i in range(n):
             st = int(status[i])
             reason = "tip" if st == STATUS_TIP else ("event" if st == STATUS_EVENT else "budget")
-            results.append((out_bases[i], int(nodes[i]), reason))
+            if span:
+                end = 0
+                for w in range(self._wk):
+                    end = (end << 64) | int(nodes[i, w])
+            else:
+                end = int(nodes[i])
+            results.append((out_bases[i], end, reason))
         return results
 
 

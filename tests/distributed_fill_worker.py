@@ -23,6 +23,7 @@ def main():
     coordinator, num_procs, pid, outdir, graph_h5, bkpt = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], sys.argv[5], sys.argv[6]
     )
+    fill_engine = sys.argv[7] if len(sys.argv) > 7 else "auto"
 
     import jax
 
@@ -35,7 +36,8 @@ def main():
 
     prefix = os.path.join(outdir, f"fillproc{pid}")
     filler = runner.Filler(
-        {"graph": graph_h5, "bkpt": bkpt, "out": prefix, "verbose": 0},
+        {"graph": graph_h5, "bkpt": bkpt, "out": prefix, "verbose": 0,
+         "fill-engine": fill_engine},
         out=io.StringIO(),
     )
     filler.execute()

