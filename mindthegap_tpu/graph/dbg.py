@@ -207,8 +207,60 @@ class Graph:
         if not path.endswith(".npz") and os.path.exists(path + ".npz"):
             os.replace(path + ".npz", path)
 
+    def save_hdf5(self, path: str):
+        """Export the graph as a REAL HDF5 container (h5dump/h5py
+        inspectable — the reference ecosystem's interchange expectation,
+        reference README.md:210-231). Schema (ours, documented here, not
+        GATB's dbgh5 layout — the Bloom/cFP internals it would describe do
+        not exist in this design):
+
+          / attrs: format="mindthegap_tpu-dbg", version=1, kmer_size, words
+          /solid/kmers  u64 [N] (k<=32) or [N, W] span rows
+          /solid/counts i64 [N]
+          / attrs: info = JSON metadata (thresholds, nb_branching, ...)
+
+        Graph.load() reads both this and the native npz format, so an
+        exported file is a drop-in `-graph` argument."""
+        import h5py
+
+        if self.solid.span is None:
+            kmers = self.solid.keys
+            words = 1
+        else:
+            kmers = self.solid.span.from_keys(self.solid.keys)
+            words = self.solid.span.W
+        with h5py.File(path, "w") as f:
+            f.attrs["format"] = "mindthegap_tpu-dbg"
+            f.attrs["version"] = 1
+            f.attrs["kmer_size"] = self.k
+            f.attrs["words"] = words
+            f.attrs["info"] = json.dumps(self.info)
+            grp = f.create_group("solid")
+            grp.create_dataset("kmers", data=kmers, compression="gzip", shuffle=True)
+            counts = self.solid.counts if self.solid.counts is not None else np.zeros(0, np.int64)
+            grp.create_dataset("counts", data=counts, compression="gzip", shuffle=True)
+
     @staticmethod
     def load(path: str) -> "Graph":
+        try:
+            import h5py
+
+            is_h5 = h5py.is_hdf5(path)
+        except Exception:
+            is_h5 = False
+        if is_h5:
+            with h5py.File(path, "r") as f:
+                assert f.attrs.get("format") == "mindthegap_tpu-dbg", (
+                    "not a mindthegap_tpu graph HDF5 (a GATB dbgh5 file must be "
+                    "rebuilt from reads: the Bloom/cFP internals do not transfer)"
+                )
+                k = int(f.attrs["kmer_size"])
+                info = json.loads(f.attrs["info"])
+                kmers = f["solid/kmers"][...]
+                counts = f["solid/counts"][...]
+            if kmers.ndim == 2:
+                kmers = Span(k).keys(kmers)
+            return Graph(SolidSet(kmers, k, counts), info)
         with np.load(path, allow_pickle=False) as z:
             k = int(z["k"])
             info = json.loads(bytes(z["info"].tobytes()).decode())

@@ -120,3 +120,48 @@ def test_profile_flag_adds_phase_timings(tmp_path):
     text = out2.getvalue()
     assert "Per-phase timings" in text
     assert "graph build" in text and "scan planes" in text and "automaton replay" in text
+
+
+def test_dbginfo_export_h5_roundtrip(tmp_path):
+    """dbginfo -export-h5 writes a REAL HDF5 container (h5py/h5dump
+    inspectable) that Graph.load accepts interchangeably with the native
+    npz artifact (reference README.md:210-231 interop expectation)."""
+    import subprocess
+    import sys as _sys
+
+    import h5py
+    import numpy as np
+
+    from mindthegap_tpu.graph.dbg import Graph, SolidSet
+    from mindthegap_tpu.ops.span import Span
+
+    rng = np.random.default_rng(0)
+
+    # k <= 32 (u64 keys) and a span k (void keys via multi-word rows)
+    cases = []
+    keys31 = np.unique(rng.integers(0, 1 << 61, size=5000, dtype=np.uint64))
+    cases.append(Graph(SolidSet(keys31, 31, np.full(keys31.size, 3, np.int64)),
+                       {"thresholds": 3, "kmers_nb_solid": int(keys31.size)}))
+    sp = Span(45)
+    rows, valid = sp.from_codes(rng.integers(0, 4, size=4000, dtype=np.uint8))
+    keys45 = np.unique(sp.keys(sp.canonical(rows[valid])))
+    cases.append(Graph(SolidSet(keys45, 45, np.full(keys45.size, 2, np.int64)),
+                       {"thresholds": 2}))
+
+    for i, g in enumerate(cases):
+        npz = str(tmp_path / f"g{i}.h5")
+        g.save(npz)
+        out = str(tmp_path / f"export{i}.h5")
+        r = subprocess.run(
+            [_sys.executable, "bin/dbginfo", "-in", npz, "-export-h5", out],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert h5py.is_hdf5(out) and not h5py.is_hdf5(npz)
+        with h5py.File(out) as f:
+            assert f.attrs["format"] == "mindthegap_tpu-dbg"
+            assert int(f.attrs["kmer_size"]) == g.k
+        g2 = Graph.load(out)
+        assert g2.k == g.k and g2.info == g.info
+        assert np.array_equal(g2.solid.keys, g.solid.keys)
+        assert np.array_equal(g2.solid.counts, g.solid.counts)
