@@ -659,7 +659,9 @@ def stage_mem(which: str):
     elif which == "build":
         from mindthegap_tpu.ops.counting_device import DeviceStreamingCounter
 
-        reads = _reads_from(genome, 1 << 27)
+        # 128 Mbases at ~32x coverage (4-Mbase region): the reference's
+        # human-NGS regime; distinct ~ region size
+        reads = _reads_from(genome[: 1 << 22], 1 << 27)
         ctr = DeviceStreamingCounter(K)
         for r in reads:
             ctr.add_codes(r)
@@ -668,7 +670,7 @@ def stage_mem(which: str):
     elif which == "build-partitioned":
         from mindthegap_tpu.ops.counting import PartitionedCounter
 
-        reads = _reads_from(genome, 1 << 27)
+        reads = _reads_from(genome[: 1 << 22], 1 << 27)
         ctr = PartitionedCounter(K, memory_mb=500)
         for r in reads:
             ctr.add_codes(r)

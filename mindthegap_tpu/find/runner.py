@@ -617,6 +617,8 @@ def _make_pay_feed_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: in
             qp = X.build_fused_pair(graph.solid.kmers, k, repeat_set.kmers)
             targs = (jnp.asarray(qp.slots), jnp.asarray(qp.stash_keys),
                      jnp.asarray(qp.stash_l), jnp.asarray(qp.stash_r))
+            qp.slots = None  # free the host copy of the ~16 B/slot table —
+            #                  only the device placement is used from here
             window = 1 << 22
             group = 3  # small groups -> more pipeline stages: replay of
             #            group g-1 overlaps device compute of group g

@@ -118,11 +118,12 @@ class DeviceStreamingCounter:
             self._pending = (None, b, (b[0], b[1], b[2]), None)
         else:
             # the previous sync pinned the accumulator's distinct count —
-            # merge only its occupied prefix (128K-granular slice: bounded
-            # program shapes), not the dead SENTINEL tail
-            gran = 1 << 17
+            # merge only its occupied prefix, not the dead SENTINEL tail.
+            # POWER-OF-TWO slice lengths: the merge program recompiles per
+            # shape, and a fine-grained slice would mean a fresh (relay)
+            # compile on every flush of a low-coverage stream
             alen = int(self._acc[0].shape[0])
-            m_pad = min(-(-max(self._acc_n, 1) // gran) * gran, alen)
+            m_pad = min(1 << max(0, (max(self._acc_n, 1) - 1).bit_length(), 17), alen)
             ak = self._acc[0][:m_pad] if m_pad < alen else self._acc[0]
             ac = self._acc[1][:m_pad] if m_pad < alen else self._acc[1]
             m = merge_distinct_device(ak, ac, b[0], b[1], self._cap)
