@@ -366,17 +366,9 @@ def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 <
             dispatch, n_dev = M.make_sharded_scan_group_qp(mesh, qm, k, window)
             keys = ("fwd", "valid", "contains", "nb_in", "nb_out", "suffix_rep", "prefix_rep")
         else:
-            from ..ops.span import Span
             from .scan_device import planes_from_pay_span
 
-            sp = Span(k)
-            spm1 = Span(k - 1)
-            solid_rows = sp.from_keys(graph.solid.keys)
-            if repeat_set.span is None:  # k = 33: (k-1)-mer set is plain u64
-                rep_rows = np.asarray(repeat_set.keys, np.uint64).reshape(-1, 1)
-            else:
-                rep_rows = spm1.from_keys(repeat_set.keys)
-            qms = X.build_fused_span(solid_rows, k, rep_rows)
+            qms = _build_span_map(graph, repeat_set, k)
             dispatch, n_dev = M.make_sharded_scan_group_span(mesh, qms, k, window)
             keys = ("fwd", "valid", "contains", "nb_in", "nb_out",
                     "suffix_rep", "prefix_rep", "fwd_rows")
@@ -452,19 +444,9 @@ def _make_span_plane_fn(engine: str, graph, repeat_set, k: int, host_fn):
     try:
         import jax.numpy as jnp
 
-        from ..ops import extmap as X
-        from ..ops.span import Span
         from .scan import Planes
-        from .scan_device import scan_planes_device_q_span
 
-        sp = Span(k)
-        spm1 = Span(k - 1)
-        solid_rows = sp.from_keys(graph.solid.keys)
-        if repeat_set.span is None:  # k = 33: (k-1)-mer set is plain u64
-            rep_rows = np.asarray(repeat_set.keys, np.uint64).reshape(-1, 1)
-        else:
-            rep_rows = spm1.from_keys(repeat_set.keys)
-        qms = X.build_fused_span(solid_rows, k, rep_rows)
+        qms = _build_span_map(graph, repeat_set, k)
         d = {
             "slots": jnp.asarray(qms.slots),
             "sat": jnp.asarray(qms.sat),
