@@ -327,12 +327,15 @@ def stage_fill():
 
 
 def stage_scan_cli():
-    """The find scan as the CLI actually runs it (r5): the packed payload
-    stream off the device (scan_pay_device_qp, ~1.125 B/position) is fed
-    STRAIGHT into the native C automaton (scanner_feed_pay) — no host plane
-    expansion at all; the automaton rolls fwd k-mers/validity from the raw
-    sequence and replays window g-1 while the device computes window g.
-    Includes the device->host boundary that the sum-readback stages exclude."""
+    """The find scan as the CLI actually runs it (r5): 2-bit packed uploads
+    + the reference-delta CLASS stream off the device (scan_cls_device_qp,
+    ~0.27 B/position — most payloads are implied by the reference's own
+    continuation; exceptions ride a compacted list) fed STRAIGHT into the
+    native C automaton (scanner_feed_cls) — no host plane expansion at all;
+    the automaton rolls fwd k-mers/validity from the raw sequence and
+    replays window g-1 while the device computes window g. Includes the
+    device->host boundary that the sum-readback stages exclude. Uses the
+    CLI's own feed factory (_make_pay_feed_fn) so bench == product path."""
     from mindthegap_tpu.find.native_scan import NativeScanner
     from mindthegap_tpu.find.runner import _make_pay_feed_fn
     from mindthegap_tpu.utils import dna

@@ -89,6 +89,37 @@ def _validate_scan_engine(engine: str):
         )
 
 
+
+def _over_budget_mesh(graph, scan_memory_mb: int) -> bool:
+    """True when the replicated k<=32 scan map would exceed the per-chip
+    budget AND a multi-device mesh exists to reroute membership through
+    (the sharded-mem capacity gate, SURVEY.md §2.3 last row). Budget:
+    -scan-memory MB, else ~3/4 of one v5e chip's 16 GB HBM."""
+    budget = (scan_memory_mb << 20) if scan_memory_mb > 0 else 12 << 30
+    if _scan_map_bytes_estimate(len(graph.solid)) <= budget:
+        return False
+    try:
+        import jax
+
+        return len(jax.devices()) > 1
+    except Exception:
+        return False
+
+
+def _auto_small_or_cpu(graph) -> bool:
+    """True when -scan-engine auto should stay on the host plane path: the
+    device path pays a table build + XLA compile, only worth it on
+    genome-scale runs with an accelerator attached."""
+    if len(graph.solid) < (1 << 21):
+        return True
+    try:
+        import jax
+
+        return jax.default_backend() in ("cpu",)
+    except Exception:
+        return True
+
+
 def _make_plane_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: int = 0):
     """Select the scan engine: "host" (numpy oracle), "device" (XLA pass over
     the extension-bitmap map — identical results, ~73x faster per chip),
@@ -111,36 +142,14 @@ def _make_plane_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: int =
         return _make_sharded_plane_fn(graph, repeat_set, k, host_fn)
     if k > 32:
         return _make_span_plane_fn(engine, graph, repeat_set, k, host_fn)
-    if engine in ("auto", "sharded") and k <= 32:
-        # capacity gate (SURVEY.md §2.3 last row): a replicated map bigger
-        # than the per-chip budget routes membership through the sharded
-        # Bloom path instead. Budget: -scan-memory MB, else ~3/4 of one
-        # v5e chip's 16 GB HBM.
-        budget = (scan_memory_mb << 20) if scan_memory_mb > 0 else 12 << 30
-        if _scan_map_bytes_estimate(len(graph.solid)) > budget:
-            try:
-                import jax
-
-                if len(jax.devices()) > 1:
-                    engine = "sharded-mem"
-            except Exception:
-                pass
+    if engine in ("auto", "sharded") and k <= 32 and _over_budget_mesh(graph, scan_memory_mb):
+        engine = "sharded-mem"
     if engine == "sharded-mem":
         return _make_sharded_mem_plane_fn(graph, repeat_set, k, host_fn)
     if engine == "sharded":
         return _make_sharded_plane_fn(graph, repeat_set, k, host_fn)
-    if engine == "auto":
-        # the device path pays a table build + XLA compile; only worth it on
-        # genome-scale runs with an accelerator attached
-        if len(graph.solid) < (1 << 21):
-            return host_fn
-        try:
-            import jax
-
-            if jax.default_backend() in ("cpu",):
-                return host_fn
-        except Exception:
-            return host_fn
+    if engine == "auto" and _auto_small_or_cpu(graph):
+        return host_fn
 
     try:
         import jax.numpy as jnp
@@ -430,16 +439,8 @@ def _make_sharded_plane_fn(graph, repeat_set, k: int, host_fn, window: int = 1 <
 def _make_span_plane_fn(engine: str, graph, repeat_set, k: int, host_fn):
     """Device scan engine for 32 < k <= 256 (multi-word quotient map,
     scan_device.scan_planes_device_q_span)."""
-    if engine == "auto":
-        if len(graph.solid) < (1 << 21):
-            return host_fn
-        try:
-            import jax
-
-            if jax.default_backend() in ("cpu",):
-                return host_fn
-        except Exception:
-            return host_fn
+    if engine == "auto" and _auto_small_or_cpu(graph):
+        return host_fn
 
     try:
         import jax.numpy as jnp
@@ -522,28 +523,13 @@ def _make_pay_feed_fn(engine: str, graph, repeat_set, k: int, scan_memory_mb: in
     device (k>32 span map), sharded (either, windows over the mesh)."""
     if engine not in ("auto", "device", "device-qp", "sharded") or k > 256:
         return None
-    if engine == "auto":
-        # same gates as _make_plane_fn's auto resolution
-        if len(graph.solid) < (1 << 21):
-            return None
-        try:
-            import jax
-
-            if jax.default_backend() in ("cpu",):
-                return None
-        except Exception:
-            return None
-    if k <= 32 and engine in ("auto", "sharded"):
-        # over-budget replicated map -> sharded-mem (plane path) handles it
-        budget = (scan_memory_mb << 20) if scan_memory_mb > 0 else 12 << 30
-        if _scan_map_bytes_estimate(len(graph.solid)) > budget:
-            try:
-                import jax
-
-                if len(jax.devices()) > 1:
-                    return None
-            except Exception:
-                pass
+    # same gates, same order, as _make_plane_fn: over-budget replicated
+    # map -> sharded-mem (the plane path handles it); auto on small sets /
+    # CPU backend -> host plane path
+    if k <= 32 and engine in ("auto", "sharded") and _over_budget_mesh(graph, scan_memory_mb):
+        return None
+    if engine == "auto" and _auto_small_or_cpu(graph):
+        return None
     if engine == "device" and k <= 32:
         return None  # explicit 2-probe cuckoo layout has no packed kernel
 

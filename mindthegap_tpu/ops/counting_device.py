@@ -171,23 +171,6 @@ class DeviceStreamingCounter:
         return CountResult(keys, counts, hist, self.k)
 
 
-def _merge_runs(sorted_a, counts_a, u, c):
-    """Merge two sorted (keys, counts) runs, summing counts of equal keys."""
-    if sorted_a.size == 0:
-        return u, c
-    merged = np.concatenate([sorted_a, u])
-    mcounts = np.concatenate([counts_a, c])
-    order = np.argsort(merged, kind="stable")
-    merged, mcounts = merged[order], mcounts[order]
-    uniq_mask = np.empty(merged.size, bool)
-    uniq_mask[0] = True
-    uniq_mask[1:] = merged[1:] != merged[:-1]
-    idx = np.cumsum(uniq_mask) - 1
-    out_counts = np.zeros(int(idx[-1]) + 1, np.int64)
-    np.add.at(out_counts, idx, mcounts)
-    return merged[uniq_mask], out_counts
-
-
 @partial(jax.jit, static_argnames=("k",))
 def count_batch_device_packed(packed, bad, k: int):
     """count_batch_device over the 2-bit packed upload format
@@ -203,11 +186,13 @@ def merge_distinct_device(acc_keys, acc_counts, new_keys, new_counts, out_cap: i
     """Merge two sorted distinct (keys, counts) sets ON DEVICE, summing
     counts of equal keys (each key appears at most once per input), and
     compact into the first `out_cap` slots (SENTINEL padding after).
-    Returns (keys u64[out_cap], counts i32[out_cap], n_distinct i32);
+    Returns (keys u64[out_cap], counts i64[out_cap], n_distinct i32);
     n_distinct > out_cap means the output was truncated — the caller grows
-    the capacity and re-runs with the kept inputs."""
+    the capacity and re-runs with the kept inputs. Counts accumulate in
+    int64 (per-batch counts are bounded by the batch positions, but the
+    running total is not — the host merge this replaced was int64 too)."""
     keys = jnp.concatenate([acc_keys, new_keys])
-    cnts = jnp.concatenate([acc_counts.astype(jnp.int32), new_counts.astype(jnp.int32)])
+    cnts = jnp.concatenate([acc_counts.astype(jnp.int64), new_counts.astype(jnp.int64)])
     keys, cnts = jax.lax.sort((keys, cnts), num_keys=1)
     n = keys.shape[0]
     live = keys != SENTINEL
