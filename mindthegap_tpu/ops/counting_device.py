@@ -37,14 +37,16 @@ SEP = 255  # read separator / invalid base code
 class DeviceStreamingCounter:
     """Drop-in for ops/counting.py StreamingCounter (k <= 32): batches of
     base codes are concatenated with separators into fixed-size device
-    buffers; each flush extracts+sorts+RLEs on device and MERGES INTO A
-    DEVICE-RESIDENT accumulator (merge_distinct_device) — nothing but one
-    scalar (the running distinct count, which doubles as the
-    capacity-overflow check and the buffer-reuse sync) crosses the host
-    boundary until result(). Uploads are 2-bit packed (+ bad/separator
-    bitmask): 0.375 B/base instead of 1. The r4 version transferred every
-    flush's distinct prefix (~12 B/distinct) and merged on host, which held
-    the CLI wrapper at a quarter of the one-shot kernel's rate."""
+    buffers; each flush sorts its batch on device (sort_batch_device) and
+    MERGES the raw sorted stream into a DEVICE-RESIDENT accumulator
+    (merge_sorted_device folds duplicates while merging — no per-batch
+    RLE/compaction pass) — nothing but one scalar (the running distinct
+    count, which doubles as the capacity-overflow check and the
+    buffer-reuse sync) crosses the host boundary until result(). Uploads
+    are 2-bit packed (+ bad/separator bitmask): 0.375 B/base instead of 1.
+    The r4 version transferred every flush's distinct prefix
+    (~12 B/distinct) and merged on host, which held the CLI wrapper at a
+    quarter of the one-shot kernel's rate."""
 
     def __init__(self, k: int, batch_bases: int = 1 << 23, init_cap: int = 1 << 20):
         assert k <= 32, "device counter: k <= 32 (host counter covers larger spans)"
@@ -104,7 +106,9 @@ class DeviceStreamingCounter:
         buf = self._bufs[self._cur]
         buf[self._fill :] = SEP
         packed, bad = pack_codes_host(buf)
-        b = count_batch_device_packed(jnp.asarray(packed), jnp.asarray(bad), self.k)
+        # the raw sorted batch stream only — merge_sorted_device folds the
+        # duplicates while merging (no per-batch RLE/compaction pass)
+        b = sort_batch_device(jnp.asarray(packed), jnp.asarray(bad), self.k)
         # sync the PREVIOUS flush while the device starts on this batch:
         # its scalar distinct count confirms capacity and implies the
         # buffer we are about to switch to is no longer read by any program
@@ -112,23 +116,22 @@ class DeviceStreamingCounter:
         if prev is not None:
             self._sync(prev)
         if self._acc is None:
-            self._acc = (b[0], b[1])
-            # first flush: acc IS the batch result (capacity = batch slots);
-            # fold into the fixed-cap accumulator on the next merge
-            self._pending = (None, b, (b[0], b[1], b[2]), None)
-        else:
-            # the previous sync pinned the accumulator's distinct count —
-            # merge only its occupied prefix, not the dead SENTINEL tail.
-            # POWER-OF-TWO slice lengths: the merge program recompiles per
-            # shape, and a fine-grained slice would mean a fresh (relay)
-            # compile on every flush of a low-coverage stream
-            alen = int(self._acc[0].shape[0])
-            m_pad = min(1 << max(0, (max(self._acc_n, 1) - 1).bit_length(), 17), alen)
-            ak = self._acc[0][:m_pad] if m_pad < alen else self._acc[0]
-            ac = self._acc[1][:m_pad] if m_pad < alen else self._acc[1]
-            m = merge_distinct_device(ak, ac, b[0], b[1], self._cap)
-            self._pending = (self._acc, b, m, self._cap)
-            self._acc = (m[0], m[1])
+            self._acc = (
+                jnp.full(self._cap, SENTINEL, jnp.uint64),
+                jnp.zeros(self._cap, jnp.int64),
+            )
+        # the previous sync pinned the accumulator's distinct count —
+        # merge only its occupied prefix, not the dead SENTINEL tail.
+        # POWER-OF-TWO slice lengths: the merge program recompiles per
+        # shape, and a fine-grained slice would mean a fresh (relay)
+        # compile on every flush of a low-coverage stream
+        alen = int(self._acc[0].shape[0])
+        m_pad = min(1 << max(0, (max(self._acc_n, 1) - 1).bit_length(), 17), alen)
+        ak = self._acc[0][:m_pad] if m_pad < alen else self._acc[0]
+        ac = self._acc[1][:m_pad] if m_pad < alen else self._acc[1]
+        m = merge_sorted_device(ak, ac, b, self._cap)
+        self._pending = (self._acc, b, m, self._cap)
+        self._acc = (m[0], m[1])
         self._cur ^= 1
         self._fill = 0
         self._bufs[self._cur][:] = SEP
@@ -136,12 +139,12 @@ class DeviceStreamingCounter:
     def _sync(self, prev):
         acc_prev, b, m, cap = prev
         nd = int(m[2])
-        if cap is not None and nd > cap:
+        if nd > cap:
             # capacity overflow: the truncated merge is wrong — grow and
             # redo from the kept inputs (both still alive on device)
             while nd > self._cap:
                 self._cap *= 2
-            m = merge_distinct_device(acc_prev[0], acc_prev[1], b[0], b[1], self._cap)
+            m = merge_sorted_device(acc_prev[0], acc_prev[1], b, self._cap)
             self._acc = (m[0], m[1])
             nd = int(m[2])
         self._acc_n = nd
@@ -172,6 +175,106 @@ class DeviceStreamingCounter:
 
 
 @partial(jax.jit, static_argnames=("k",))
+def sort_batch_device(packed, bad, k: int):
+    """Extract + canonicalize + sort one packed batch — NO RLE/compaction:
+    the raw sorted stream (SENTINEL for invalid windows) feeds
+    merge_sorted_device, which folds duplicates while it merges. Skipping
+    the per-batch compaction removes one full tuple-sort per flush."""
+    from ..find.scan_device import rolling_kmers_device, unpack_codes_device
+
+    codes = unpack_codes_device(packed, bad)
+    fwd, valid = rolling_kmers_device(codes, k)
+    return jnp.sort(jnp.where(valid, K.canonical_u64(fwd, k, jnp), SENTINEL))
+
+
+@partial(jax.jit, static_argnames=("out_cap",))
+def merge_sorted_device(acc_keys, acc_counts, batch_sorted, out_cap: int):
+    """Merge the distinct accumulator (keys + i64 counts, SENTINEL-padded)
+    with a RAW sorted batch stream (duplicates allowed, implied count 1
+    per live element): one sort + cumsum + one compaction tuple-sort. Run
+    totals come from exclusive-prefix differences of the compacted run
+    starts — no gather, no scatter. Returns (keys u64[out_cap], counts
+    i64[out_cap], n_distinct i32); n_distinct > out_cap = truncated, the
+    caller grows and re-runs from the kept inputs."""
+    keys = jnp.concatenate([acc_keys, batch_sorted])
+    cnts = jnp.concatenate(
+        [acc_counts.astype(jnp.int64), (batch_sorted != SENTINEL).astype(jnp.int64)]
+    )
+    keys, cnts = jax.lax.sort((keys, cnts), num_keys=1)
+    n = keys.shape[0]
+    live = keys != SENTINEL
+    newrun = jnp.concatenate([jnp.ones(1, bool), keys[1:] != keys[:-1]]) & live
+    n_distinct = jnp.sum(newrun.astype(jnp.int32))
+    s = jnp.cumsum(cnts)
+    sprev = s - cnts           # exclusive prefix (sentinels contribute 0)
+    total = s[-1]
+    notstart = (~newrun).astype(jnp.uint8)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, _, keys_c, sprev_c = jax.lax.sort((notstart, idx, keys, sprev), num_keys=2)
+    nxt = jnp.concatenate([sprev_c[1:], jnp.zeros(1, sprev_c.dtype)])
+    j = jnp.arange(n, dtype=jnp.int32)
+    csum = jnp.where(j == n_distinct - 1, total - sprev_c, nxt - sprev_c)
+    in_prefix = jnp.arange(out_cap, dtype=jnp.int32) < n_distinct
+    pad = max(out_cap - n, 0)
+    if pad:
+        keys_c = jnp.concatenate([keys_c, jnp.full(pad, SENTINEL, keys_c.dtype)])
+        csum = jnp.concatenate([csum, jnp.zeros(pad, csum.dtype)])
+    keys_out = jnp.where(in_prefix, keys_c[:out_cap], SENTINEL)
+    cnts_out = jnp.where(in_prefix, csum[:out_cap], 0)
+    return keys_out, cnts_out, n_distinct
+
+
+@partial(jax.jit, static_argnames=("k",))
+def sort_batch_device(packed, bad, k: int):
+    """Extract + canonicalize + sort one packed batch — NO RLE/compaction:
+    the raw sorted stream (SENTINEL for invalid windows) feeds
+    merge_sorted_device, which folds duplicates while it merges. Skipping
+    the per-batch compaction removes one full tuple-sort per flush."""
+    from ..find.scan_device import rolling_kmers_device, unpack_codes_device
+
+    codes = unpack_codes_device(packed, bad)
+    fwd, valid = rolling_kmers_device(codes, k)
+    return jnp.sort(jnp.where(valid, K.canonical_u64(fwd, k, jnp), SENTINEL))
+
+
+@partial(jax.jit, static_argnames=("out_cap",))
+def merge_sorted_device(acc_keys, acc_counts, batch_sorted, out_cap: int):
+    """Merge the distinct accumulator (keys + i64 counts, SENTINEL-padded)
+    with a RAW sorted batch stream (duplicates allowed, implied count 1
+    per live element): one sort + cumsum + one compaction tuple-sort. Run
+    totals come from exclusive-prefix differences of the compacted run
+    starts — no gather, no scatter. Returns (keys u64[out_cap], counts
+    i64[out_cap], n_distinct i32); n_distinct > out_cap = truncated, the
+    caller grows and re-runs from the kept inputs."""
+    keys = jnp.concatenate([acc_keys, batch_sorted])
+    cnts = jnp.concatenate(
+        [acc_counts.astype(jnp.int64), (batch_sorted != SENTINEL).astype(jnp.int64)]
+    )
+    keys, cnts = jax.lax.sort((keys, cnts), num_keys=1)
+    n = keys.shape[0]
+    live = keys != SENTINEL
+    newrun = jnp.concatenate([jnp.ones(1, bool), keys[1:] != keys[:-1]]) & live
+    n_distinct = jnp.sum(newrun.astype(jnp.int32))
+    s = jnp.cumsum(cnts)
+    sprev = s - cnts           # exclusive prefix (sentinels contribute 0)
+    total = s[-1]
+    notstart = (~newrun).astype(jnp.uint8)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, _, keys_c, sprev_c = jax.lax.sort((notstart, idx, keys, sprev), num_keys=2)
+    nxt = jnp.concatenate([sprev_c[1:], jnp.zeros(1, sprev_c.dtype)])
+    j = jnp.arange(n, dtype=jnp.int32)
+    csum = jnp.where(j == n_distinct - 1, total - sprev_c, nxt - sprev_c)
+    in_prefix = jnp.arange(out_cap, dtype=jnp.int32) < n_distinct
+    pad = max(out_cap - n, 0)
+    if pad:
+        keys_c = jnp.concatenate([keys_c, jnp.full(pad, SENTINEL, keys_c.dtype)])
+        csum = jnp.concatenate([csum, jnp.zeros(pad, csum.dtype)])
+    keys_out = jnp.where(in_prefix, keys_c[:out_cap], SENTINEL)
+    cnts_out = jnp.where(in_prefix, csum[:out_cap], 0)
+    return keys_out, cnts_out, n_distinct
+
+
+@partial(jax.jit, static_argnames=("k",))
 def count_batch_device_packed(packed, bad, k: int):
     """count_batch_device over the 2-bit packed upload format
     (find/scan_device.py pack_codes_host): separators/invalid bases ride
@@ -179,42 +282,6 @@ def count_batch_device_packed(packed, bad, k: int):
     from ..find.scan_device import unpack_codes_device
 
     return count_batch_device(unpack_codes_device(packed, bad), k)
-
-
-@partial(jax.jit, static_argnames=("out_cap",))
-def merge_distinct_device(acc_keys, acc_counts, new_keys, new_counts, out_cap: int):
-    """Merge two sorted distinct (keys, counts) sets ON DEVICE, summing
-    counts of equal keys (each key appears at most once per input), and
-    compact into the first `out_cap` slots (SENTINEL padding after).
-    Returns (keys u64[out_cap], counts i64[out_cap], n_distinct i32);
-    n_distinct > out_cap means the output was truncated — the caller grows
-    the capacity and re-runs with the kept inputs. Counts accumulate in
-    int64 (per-batch counts are bounded by the batch positions, but the
-    running total is not — the host merge this replaced was int64 too)."""
-    keys = jnp.concatenate([acc_keys, new_keys])
-    cnts = jnp.concatenate([acc_counts.astype(jnp.int64), new_counts.astype(jnp.int64)])
-    keys, cnts = jax.lax.sort((keys, cnts), num_keys=1)
-    n = keys.shape[0]
-    live = keys != SENTINEL
-    same_next = jnp.concatenate([keys[1:] == keys[:-1], jnp.zeros(1, bool)]) & live
-    nxt = jnp.concatenate([cnts[1:], jnp.zeros(1, cnts.dtype)])
-    csum = cnts + jnp.where(same_next, nxt, 0)
-    newrun = jnp.concatenate([jnp.ones(1, bool), keys[1:] != keys[:-1]]) & live
-    n_distinct = jnp.sum(newrun.astype(jnp.int32))
-    # tuple-sort compaction (run starts to the front, key order preserved).
-    # NOT a cumsum+scatter: an 8M-element indexed scatter lowers to ~per-
-    # element DMA on this TPU and ran ~6x slower than the sort (measured).
-    notstart = (~newrun).astype(jnp.uint8)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    _, _, keys_c, csum_c = jax.lax.sort((notstart, idx, keys, csum), num_keys=2)
-    in_prefix = jnp.arange(out_cap, dtype=jnp.int32) < n_distinct
-    pad = max(out_cap - n, 0)
-    if pad:
-        keys_c = jnp.concatenate([keys_c, jnp.full(pad, SENTINEL, keys_c.dtype)])
-        csum_c = jnp.concatenate([csum_c, jnp.zeros(pad, csum_c.dtype)])
-    keys_out = jnp.where(in_prefix, keys_c[:out_cap], SENTINEL)
-    cnts_out = jnp.where(in_prefix, csum_c[:out_cap], 0)
-    return keys_out, cnts_out, n_distinct
 
 
 @partial(jax.jit, static_argnames=("k",))
