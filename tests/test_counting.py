@@ -285,3 +285,29 @@ def test_device_streaming_counter_matches_host():
     assert (hr.kmers == dr.kmers).all()
     assert (hr.counts == dr.counts).all()
     assert (hr.histogram == dr.histogram).all()
+
+
+def test_device_counter_capacity_overflow_redo():
+    """The device accumulator's capacity-overflow protocol: a tiny init_cap
+    forces truncated merges whose scalar sync detects the overflow, grows
+    the capacity, and re-runs the merge from the kept inputs — the final
+    result must still equal the host counter exactly."""
+    import numpy as np
+
+    from mindthegap_tpu.ops.counting import StreamingCounter
+    from mindthegap_tpu.ops.counting_device import DeviceStreamingCounter
+
+    k = 15
+    rng = np.random.default_rng(11)
+    reads = [rng.integers(0, 4, size=120, dtype=np.uint8) for _ in range(200)]
+
+    host = StreamingCounter(k)
+    dev = DeviceStreamingCounter(k, batch_bases=1 << 12, init_cap=64)
+    for r in reads:
+        host.add_codes(r)
+        dev.add_codes(r)
+    hr, dr = host.result(), dev.result()
+    assert dev._cap > 64, "overflow growth never triggered"
+    assert np.array_equal(hr.kmers, dr.kmers)
+    assert np.array_equal(hr.counts, dr.counts)
+    assert np.array_equal(hr.histogram, dr.histogram)
