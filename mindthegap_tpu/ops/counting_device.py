@@ -225,56 +225,6 @@ def merge_sorted_device(acc_keys, acc_counts, batch_sorted, out_cap: int):
 
 
 @partial(jax.jit, static_argnames=("k",))
-def sort_batch_device(packed, bad, k: int):
-    """Extract + canonicalize + sort one packed batch — NO RLE/compaction:
-    the raw sorted stream (SENTINEL for invalid windows) feeds
-    merge_sorted_device, which folds duplicates while it merges. Skipping
-    the per-batch compaction removes one full tuple-sort per flush."""
-    from ..find.scan_device import rolling_kmers_device, unpack_codes_device
-
-    codes = unpack_codes_device(packed, bad)
-    fwd, valid = rolling_kmers_device(codes, k)
-    return jnp.sort(jnp.where(valid, K.canonical_u64(fwd, k, jnp), SENTINEL))
-
-
-@partial(jax.jit, static_argnames=("out_cap",))
-def merge_sorted_device(acc_keys, acc_counts, batch_sorted, out_cap: int):
-    """Merge the distinct accumulator (keys + i64 counts, SENTINEL-padded)
-    with a RAW sorted batch stream (duplicates allowed, implied count 1
-    per live element): one sort + cumsum + one compaction tuple-sort. Run
-    totals come from exclusive-prefix differences of the compacted run
-    starts — no gather, no scatter. Returns (keys u64[out_cap], counts
-    i64[out_cap], n_distinct i32); n_distinct > out_cap = truncated, the
-    caller grows and re-runs from the kept inputs."""
-    keys = jnp.concatenate([acc_keys, batch_sorted])
-    cnts = jnp.concatenate(
-        [acc_counts.astype(jnp.int64), (batch_sorted != SENTINEL).astype(jnp.int64)]
-    )
-    keys, cnts = jax.lax.sort((keys, cnts), num_keys=1)
-    n = keys.shape[0]
-    live = keys != SENTINEL
-    newrun = jnp.concatenate([jnp.ones(1, bool), keys[1:] != keys[:-1]]) & live
-    n_distinct = jnp.sum(newrun.astype(jnp.int32))
-    s = jnp.cumsum(cnts)
-    sprev = s - cnts           # exclusive prefix (sentinels contribute 0)
-    total = s[-1]
-    notstart = (~newrun).astype(jnp.uint8)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    _, _, keys_c, sprev_c = jax.lax.sort((notstart, idx, keys, sprev), num_keys=2)
-    nxt = jnp.concatenate([sprev_c[1:], jnp.zeros(1, sprev_c.dtype)])
-    j = jnp.arange(n, dtype=jnp.int32)
-    csum = jnp.where(j == n_distinct - 1, total - sprev_c, nxt - sprev_c)
-    in_prefix = jnp.arange(out_cap, dtype=jnp.int32) < n_distinct
-    pad = max(out_cap - n, 0)
-    if pad:
-        keys_c = jnp.concatenate([keys_c, jnp.full(pad, SENTINEL, keys_c.dtype)])
-        csum = jnp.concatenate([csum, jnp.zeros(pad, csum.dtype)])
-    keys_out = jnp.where(in_prefix, keys_c[:out_cap], SENTINEL)
-    cnts_out = jnp.where(in_prefix, csum[:out_cap], 0)
-    return keys_out, cnts_out, n_distinct
-
-
-@partial(jax.jit, static_argnames=("k",))
 def count_batch_device_packed(packed, bad, k: int):
     """count_batch_device over the 2-bit packed upload format
     (find/scan_device.py pack_codes_host): separators/invalid bases ride
