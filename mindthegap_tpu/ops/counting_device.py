@@ -105,7 +105,16 @@ class DeviceStreamingCounter:
             return
         buf = self._bufs[self._cur]
         buf[self._fill :] = SEP
-        packed, bad = pack_codes_host(buf)
+        # the FINAL flush (the only partial one — add_codes flushes full
+        # buffers) runs at the next power-of-two of the actual fill instead
+        # of the full batch shape: sorting an 8M-slot buffer that holds 1M
+        # live bases costs the same as a full flush, and result() pays it
+        # on the critical path. Power-of-two lengths keep the compiled
+        # program set bounded (floor 2^17, always a multiple of 8).
+        blen = self._batch
+        if self._fill < self._batch:
+            blen = min(max(1 << 17, 1 << (self._fill - 1).bit_length()), self._batch)
+        packed, bad = pack_codes_host(buf[:blen])
         # the raw sorted batch stream only — merge_sorted_device folds the
         # duplicates while merging (no per-batch RLE/compaction pass)
         b = sort_batch_device(jnp.asarray(packed), jnp.asarray(bad), self.k)
@@ -167,11 +176,49 @@ class DeviceStreamingCounter:
         # (a fresh shape means a fresh compile on a relay)
         gran = 1 << 17
         n_pad = min(-(-max(n, 1) // gran) * gran, int(self._acc[0].shape[0]))
+        # counts ship as clamped u8 + a compacted exception list (count >
+        # 255 — empty at any realistic coverage): 1 B/distinct instead of
+        # 8, on a boundary that moves ~25 MB/s. Dispatch the pack first so
+        # it computes while the keys transfer blocks.
+        c8, eidx, evals, n_exc_d = pack_counts_device(self._acc[1][:n_pad], _EXC_CAP)
         keys = np.asarray(self._acc[0][:n_pad])[:n]
-        counts = np.asarray(self._acc[1][:n_pad])[:n].astype(np.int64)
+        n_exc = int(n_exc_d)
+        if n_exc <= _EXC_CAP:
+            counts = np.asarray(c8)[:n].astype(np.int64)
+            if n_exc:
+                m = min(1 << (n_exc - 1).bit_length(), _EXC_CAP)  # pow2 slice
+                ei = np.asarray(eidx[:m])[:n_exc]
+                counts[ei] = np.asarray(evals[:m])[:n_exc]
+        else:  # more exceptions than the fixed cap: full-width fallback
+            counts = np.asarray(self._acc[1][:n_pad])[:n].astype(np.int64)
         hist = np.zeros(HISTOGRAM_MAX + 1, np.int64)
         np.add.at(hist, np.minimum(counts, HISTOGRAM_MAX), 1)
         return CountResult(keys, counts, hist, self.k)
+
+
+_EXC_CAP = 1 << 15  # fixed exception capacity (count > 255 per distinct kmer)
+
+
+@partial(jax.jit, static_argnames=("exc_cap",))
+def pack_counts_device(counts, exc_cap: int):
+    """Pack i64 per-distinct counts for the device->host boundary: clamped
+    u8 counts + a compacted (index, value) exception list for entries over
+    255, built with the same scatter-free tuple-sort compaction as the RLE
+    (exceptions move to the front in index order). Returns (c8 u8[n],
+    exc_idx i32[exc_cap], exc_val i64[exc_cap], n_exc i32); n_exc > exc_cap
+    means the list is truncated and the caller must fall back to the
+    full-width transfer."""
+    n = counts.shape[0]
+    over = counts > 255
+    n_exc = jnp.sum(over.astype(jnp.int32))
+    c8 = jnp.minimum(counts, 255).astype(jnp.uint8)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, idx_c, val_c = jax.lax.sort(((~over).astype(jnp.uint8), idx, counts), num_keys=2)
+    pad = max(exc_cap - n, 0)
+    if pad:
+        idx_c = jnp.concatenate([idx_c, jnp.zeros(pad, jnp.int32)])
+        val_c = jnp.concatenate([val_c, jnp.zeros(pad, val_c.dtype)])
+    return c8, idx_c[:exc_cap], val_c[:exc_cap], n_exc
 
 
 @partial(jax.jit, static_argnames=("k",))

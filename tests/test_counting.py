@@ -287,6 +287,41 @@ def test_device_streaming_counter_matches_host():
     assert (hr.histogram == dr.histogram).all()
 
 
+def test_device_streaming_counter_packed_count_exceptions(monkeypatch):
+    """Counts cross the device->host boundary as clamped u8 + a compacted
+    exception list (pack_counts_device). Counts over 255 must survive the
+    round trip exactly — both through the exception list and through the
+    full-width fallback when the list capacity is exceeded."""
+    import mindthegap_tpu.ops.counting_device as CD
+    from mindthegap_tpu.ops.counting import StreamingCounter
+
+    k = 15
+    rng = np.random.default_rng(13)
+    hot = rng.integers(0, 4, size=60, dtype=np.uint8)  # repeated: counts ~300
+    reads = [hot] * 300 + [rng.integers(0, 4, size=120, dtype=np.uint8) for _ in range(50)]
+
+    host = StreamingCounter(k)
+    for r in reads:
+        host.add_codes(r)
+    hr = host.result()
+    assert int(hr.counts.max()) > 255, "test input must exercise the exception path"
+
+    dev = CD.DeviceStreamingCounter(k, batch_bases=1 << 12)
+    for r in reads:
+        dev.add_codes(r)
+    dr = dev.result()
+    assert np.array_equal(hr.kmers, dr.kmers)
+    assert np.array_equal(hr.counts, dr.counts)
+
+    # force the truncation fallback: every over-255 entry no longer fits
+    monkeypatch.setattr(CD, "_EXC_CAP", 1)
+    dev2 = CD.DeviceStreamingCounter(k, batch_bases=1 << 12)
+    for r in reads:
+        dev2.add_codes(r)
+    dr2 = dev2.result()
+    assert np.array_equal(hr.counts, dr2.counts)
+
+
 def test_device_counter_capacity_overflow_redo():
     """The device accumulator's capacity-overflow protocol: a tiny init_cap
     forces truncated merges whose scalar sync detects the overflow, grows
